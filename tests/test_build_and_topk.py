@@ -1,0 +1,132 @@
+"""M0 end-to-end: doc ids -> forward -> stats -> exhaustive top-k, asserted
+rank-identical (and score-equal to 1e-9 rel) vs the pure-Python oracle, in
+BOTH scorer modes. Also the FIXTURES.md invariants: dense unique doc ids,
+per-turn text equality under stable order, exact N/avgdl/Σdf/Σcf."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators.docids import assign_doc_ids
+from searchengine_spark.operators.forward import (
+    CorpusScalars,
+    build_forward,
+    build_term_stats,
+    explode_forward,
+)
+from searchengine_spark.operators.topk import attach_doc_meta, query_terms_df, score_topk
+from searchengine_spark.oracle import OracleIndex
+
+QUERIES = [
+    "bacebace",            # single term
+    "bace dice",           # absent-ish / short
+    "babababa bace bace",  # duplicate term qf=2
+    "zzzabsent",           # all-absent
+    "don t stop",
+]
+
+
+@pytest.fixture(scope="module")
+def built(spark, small):
+    doc_map = assign_doc_ids(small, num_partitions=4).cache()
+    forward = build_forward(doc_map).cache()
+    tf_table = explode_forward(forward)
+    stats = build_term_stats(tf_table).cache()
+    scalars = CorpusScalars.compute(forward)
+    return doc_map, forward, tf_table, stats, scalars
+
+
+@pytest.fixture(scope="module")
+def oracle(small):
+    rows = [(r["conv_id"], r["turn_idx"], r["text"]) for r in small.collect()]
+    return OracleIndex.build(rows)
+
+
+def test_doc_ids_dense_unique(built, small):
+    doc_map, *_ = built
+    n = small.count()
+    got = doc_map.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("doc_id").alias("d"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+    ).collect()[0]
+    assert got["n"] == got["d"] == n
+    assert got["lo"] == 0 and got["hi"] == n - 1
+
+
+def test_doc_ids_are_global_rank(built):
+    doc_map, *_ = built
+    rows = doc_map.select("doc_id", "conv_id", "turn_idx").collect()
+    by_key = sorted(rows, key=lambda r: (r["conv_id"], r["turn_idx"]))
+    assert [r["doc_id"] for r in by_key] == list(range(len(rows)))
+
+
+def test_doc_ids_deterministic_across_parallelism(spark, small):
+    a = assign_doc_ids(small.repartition(3), num_partitions=2)
+    b = assign_doc_ids(small.repartition(11), num_partitions=7)
+    rows_a = {(r["conv_id"], r["turn_idx"]): r["doc_id"] for r in a.collect()}
+    rows_b = {(r["conv_id"], r["turn_idx"]): r["doc_id"] for r in b.collect()}
+    assert rows_a == rows_b
+
+
+def test_per_turn_text_equality(built, small):
+    """BASELINE.json invariant: rebuild (conv_id, turn_idx, text) from the
+    doc map; must equal the source under stable ordering."""
+    doc_map, *_ = built
+    src = small.select("conv_id", "turn_idx", "text").orderBy("conv_id", "turn_idx")
+    rebuilt = doc_map.select("conv_id", "turn_idx", "text").orderBy("conv_id", "turn_idx")
+    assert src.collect() == rebuilt.collect()
+
+
+def test_corpus_scalars_exact(built, oracle):
+    *_, scalars = built
+    assert scalars.n_docs == oracle.n_docs
+    assert scalars.avgdl == pytest.approx(oracle.avgdl, rel=1e-12)
+
+
+def test_term_stats_exact(built, oracle):
+    _, _, _, stats, _ = built
+    got = {r["term"]: (r["df"], r["cf"]) for r in stats.collect()}
+    want = {t: (oracle.df[t], oracle.cf[t]) for t in oracle.df}
+    assert got == want
+
+
+@pytest.mark.parametrize("mode", ["bm25", "reference"])
+@pytest.mark.parametrize("query", QUERIES)
+def test_topk_rank_identity(built, oracle, query, mode):
+    _, _, tf_table, stats, scalars = built
+    k = 10
+    got = score_topk(tf_table, stats, scalars, query, k=k, mode=mode).collect()
+    want = oracle.topk(query, k=k, mode=mode)
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert r["score"] == pytest.approx(s, rel=1e-9)
+
+
+def test_reference_posting_cap(built, oracle):
+    """Cap=3 changes scores the same way in engine and oracle."""
+    _, _, tf_table, stats, scalars = built
+    q = "bacebace"
+    got = score_topk(
+        tf_table, stats, scalars, q, k=5, mode="reference", posting_cap=3
+    ).collect()
+    want = oracle.topk(q, k=5, mode="reference", posting_cap=3)
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+
+
+def test_attach_doc_meta(built):
+    doc_map, _, tf_table, stats, scalars = built
+    topk = score_topk(tf_table, stats, scalars, "bacebace", k=5)
+    out = attach_doc_meta(topk, doc_map).collect()
+    assert len(out) <= 5
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_query_terms_qf(spark):
+    got = {
+        (r["term"], r["qf"]) for r in query_terms_df(spark, "a b a don't").collect()
+    }
+    assert got == {("a", 2), ("b", 1), ("don", 1), ("t", 1)}

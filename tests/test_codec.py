@@ -1,0 +1,55 @@
+"""Varint + delta codec roundtrips (property-based, SURVEY.md §5.1)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from searchengine_spark.functions.codec import (
+    decode_postings,
+    delta_decode,
+    delta_encode,
+    encode_postings,
+    varint_decode,
+    varint_encode,
+)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert varint_decode(varint_encode(arr)).tolist() == vals
+
+
+@given(st.sets(st.integers(min_value=0, max_value=2**40), max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_delta_roundtrip(ids):
+    arr = np.array(sorted(ids), dtype=np.uint64)
+    assert delta_decode(delta_encode(arr)).tolist() == sorted(ids)
+
+
+@given(
+    st.sets(st.integers(min_value=0, max_value=10**9), min_size=0, max_size=200),
+    st.data(),
+)
+@settings(max_examples=100, deadline=None)
+def test_postings_roundtrip(ids, data):
+    docs = np.array(sorted(ids), dtype=np.uint64)
+    tfs = np.array(
+        [data.draw(st.integers(min_value=1, max_value=1000)) for _ in docs],
+        dtype=np.uint64,
+    )
+    gaps_b, tfs_b = encode_postings(docs, tfs)
+    d2, t2 = decode_postings(gaps_b, tfs_b)
+    assert d2.tolist() == docs.tolist()
+    assert t2.tolist() == tfs.tolist()
+
+
+def test_compression_wins():
+    # dense doc ids should take far less than 8 bytes/posting
+    docs = np.arange(0, 100_000, 3, dtype=np.uint64)
+    tfs = np.ones(docs.size, dtype=np.uint64)
+    gaps_b, tfs_b = encode_postings(docs, tfs)
+    assert (len(gaps_b) + len(tfs_b)) / docs.size < 2.5
