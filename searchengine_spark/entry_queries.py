@@ -1,0 +1,632 @@
+"""Paired (Spark DataFrame callable, DuckDB oracle SQL) query definitions for
+the driver correctness gate (`__spark_entry__.py`).
+
+Every entry computes the same result two ways:
+  - Spark: the engine's operators over parquet at ``sf_dir``
+  - DuckDB: ANSI-ish SQL over the same files (views pre-registered by driver)
+
+Cross-engine float discipline: every float column is ``round(x, 6)`` on BOTH
+sides, and any ordering/limit is applied on the ROUNDED value with doc-id
+tie-breaks, so value-hashes match bit-for-bit. Integer aggregates are cast
+to BIGINT on both sides.
+
+The ``documents(doc_id, text, lang, source, n_chars)`` table proxies the
+transcripts corpus; ``embeddings(vec_id, embedding, label)`` feeds the
+similarity operators.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from searchengine_spark.functions.hashing import minhash_params
+from searchengine_spark.functions.tokenize import duckdb_tokens_sql
+from searchengine_spark.operators import dedup, multimodal, similarity, textstats
+from searchengine_spark.operators.forward import (
+    CorpusScalars,
+    build_forward,
+    build_term_stats,
+    explode_forward,
+)
+from searchengine_spark.operators.topk import score_all
+
+# ---------------------------------------------------------------------------
+# shared pieces
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+_TOKS_TEXT = duckdb_tokens_sql("text")
+_TOKS_QUERY = duckdb_tokens_sql("query")
+
+# Common CTE prefix: tokenized docs, tf, dl, term stats, corpus constants.
+BASE_CTES = f"""
+tokd AS (SELECT doc_id, {_TOKS_TEXT} AS t FROM documents),
+toks AS (SELECT doc_id, unnest(t) AS term FROM tokd),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, coalesce(len(t), 0)::BIGINT AS dl FROM tokd),
+stats AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY 1),
+consts AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+                  (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl)
+""".strip()
+
+_BM25_W = (
+    "q.qf * ln((c.n - s.df + 0.5) / (s.df + 0.5) + 1.0)"
+    f" * (tf.tf * {BM25_K1 + 1.0}) / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / c.avgdl))"
+)
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _load(spark, sf_dir, "documents")
+
+
+def _index_parts(spark: SparkSession, sf_dir: str):
+    docs = _docs(spark, sf_dir)
+    forward = build_forward(docs)
+    tf_table = explode_forward(forward)
+    stats = build_term_stats(tf_table)
+    scalars = CorpusScalars.compute(forward)
+    return docs, forward, tf_table, stats, scalars
+
+
+def _query_cte(*queries: str) -> str:
+    """CTEs turning raw query strings into (query_id, term, qf)."""
+    vals = ", ".join(f"({i}, '{q}')" for i, q in enumerate(queries))
+    return (
+        f"qraw(query_id, query) AS (VALUES {vals}),\n"
+        f"qtok AS (SELECT query_id, unnest({_TOKS_QUERY}) AS term FROM qraw),\n"
+        "q AS (SELECT query_id, term, count(*)::BIGINT AS qf FROM qtok GROUP BY 1, 2)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# core index queries
+# ---------------------------------------------------------------------------
+
+def q_term_stats(spark, sf_dir):
+    _, _, tf_table, stats, _ = _index_parts(spark, sf_dir)
+    return stats.select("term", F.col("df").cast("long").alias("df"),
+                        F.col("cf").cast("long").alias("cf"))
+
+
+SQL_TERM_STATS = f"WITH {BASE_CTES} SELECT term, df, cf FROM stats"
+
+
+def q_doc_lengths(spark, sf_dir):
+    _, forward, *_ = _index_parts(spark, sf_dir)
+    return forward.select("doc_id", F.col("dl").cast("long").alias("dl"))
+
+
+SQL_DOC_LENGTHS = f"WITH {BASE_CTES} SELECT doc_id, dl FROM dl"
+
+
+def q_corpus_scalars(spark, sf_dir):
+    _, forward, *_ = _index_parts(spark, sf_dir)
+    s = CorpusScalars.compute(forward)
+    return spark.createDataFrame(
+        [(s.n_docs, s.sum_dl, round(s.avgdl, 6))],
+        "n_docs long, sum_dl long, avgdl double",
+    )
+
+
+SQL_CORPUS_SCALARS = (
+    f"WITH {BASE_CTES} SELECT n AS n_docs, (SELECT sum(dl) FROM dl)::BIGINT AS sum_dl,"
+    " round(avgdl, 6) AS avgdl FROM consts"
+)
+
+
+def q_tf_postings(spark, sf_dir):
+    _, _, tf_table, *_ = _index_parts(spark, sf_dir)
+    return tf_table.select("term", "doc_id", F.col("tf").cast("long").alias("tf"))
+
+
+SQL_TF_POSTINGS = f"WITH {BASE_CTES} SELECT term, doc_id, tf FROM tf"
+
+
+def _bm25_topk(query: str, k: int = 10):
+    def run(spark, sf_dir):
+        _, _, tf_table, stats, scalars = _index_parts(spark, sf_dir)
+        allsc = score_all(tf_table, stats, scalars, query, mode="bm25")
+        return (
+            allsc.select("doc_id", F.round("score", 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    return run
+
+
+def _bm25_topk_sql(query: str, k: int = 10) -> str:
+    return f"""WITH {BASE_CTES},
+{_query_cte(query)},
+partial AS (
+  SELECT tf.doc_id, {_BM25_W} AS w
+  FROM tf JOIN q USING (term) JOIN stats s USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN consts c
+)
+SELECT doc_id, round(sum(w), 6) AS score FROM partial GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def _reference_topk(query: str, k: int = 10, cap: int = 1000):
+    def run(spark, sf_dir):
+        _, _, tf_table, stats, scalars = _index_parts(spark, sf_dir)
+        allsc = score_all(
+            tf_table, stats, scalars, query, mode="reference", posting_cap=cap
+        )
+        return (
+            allsc.select("doc_id", F.round("score", 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    return run
+
+
+def _reference_topk_sql(query: str, k: int = 10, cap: int = 1000) -> str:
+    return f"""WITH {BASE_CTES},
+{_query_cte(query)},
+capped AS (
+  SELECT x.doc_id, x.tf, x.qf, x.cf FROM (
+    SELECT tf.doc_id, tf.tf, q.qf, s.cf,
+           row_number() OVER (PARTITION BY tf.term ORDER BY tf.tf DESC, tf.doc_id ASC) AS rn
+    FROM tf JOIN q USING (term) JOIN stats s USING (term)
+  ) x WHERE x.rn <= {cap}
+),
+partial AS (
+  SELECT doc_id, (tf / (cf::DOUBLE / c.n)) * qf AS w FROM capped CROSS JOIN consts c
+)
+SELECT doc_id, round(sum(w), 6) AS score FROM partial GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+_BATCH_QUERIES = ["spark join fast", "dup", "the the data", "window agg stream", "zzzabsent"]
+
+
+def q_batch_topk(spark, sf_dir, k: int = 5):
+    from searchengine_spark.functions.tokenize import tokenize_udf
+
+    _, _, tf_table, stats, scalars = _index_parts(spark, sf_dir)
+    queries = spark.createDataFrame(
+        list(enumerate(_BATCH_QUERIES)), "query_id int, query string"
+    )
+    qterms = (
+        queries.select("query_id", F.explode(tokenize_udf(F.col("query"))).alias("term"))
+        .groupBy("query_id", "term")
+        .agg(F.count("*").alias("qf"))
+    )
+    from searchengine_spark.operators.topk import _partial_weight
+
+    joined = tf_table.join(F.broadcast(qterms), "term").join(stats, "term")
+    scored = _partial_weight(joined, scalars, "bm25")
+    per_doc = scored.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("partial"), 6).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def _batch_topk_sql(k: int = 5) -> str:
+    return f"""WITH {BASE_CTES},
+{_query_cte(*_BATCH_QUERIES)},
+partial AS (
+  SELECT q.query_id, tf.doc_id, {_BM25_W} AS w
+  FROM tf JOIN q USING (term) JOIN stats s USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN consts c
+),
+scored AS (SELECT query_id, doc_id, round(sum(w), 6) AS score FROM partial GROUP BY 1, 2)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, score,
+         (row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC))::BIGINT AS rank
+  FROM scored
+) WHERE rank <= {k}"""
+
+
+def q_doc_id_rank(spark, sf_dir):
+    """The deterministic dense doc-id operator, oracled by a SQL window."""
+    import datetime
+
+    from searchengine_spark.operators.docids import assign_doc_ids
+
+    docs = _docs(spark, sf_dir)
+    as_transcripts = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(datetime.datetime(2026, 1, 1)).alias("ts"),
+    )
+    out = assign_doc_ids(as_transcripts, num_partitions=4)
+    return out.select("conv_id", F.col("doc_id").alias("rank_id"))
+
+
+SQL_DOC_ID_RANK = (
+    "SELECT lpad(doc_id::VARCHAR, 10, '0') AS conv_id,"
+    " (row_number() OVER (ORDER BY lpad(doc_id::VARCHAR, 10, '0')) - 1)::BIGINT AS rank_id"
+    " FROM documents"
+)
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.dedup_exact(_docs(spark, sf_dir)).select(
+        "text_md5",
+        F.col("n_dups").cast("long").alias("n_dups"),
+        F.col("keep_id").cast("long").alias("keep_id"),
+    )
+
+
+SQL_DEDUP_EXACT = (
+    "SELECT md5(text) AS text_md5, count(*)::BIGINT AS n_dups,"
+    " min(doc_id)::BIGINT AS keep_id FROM documents GROUP BY 1"
+)
+
+_SHINGLE_CTES = f"""
+tokd AS (SELECT doc_id, {_TOKS_TEXT} AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+       i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingle FROM tokd)
+""".strip()
+
+_JACCARD_THRESHOLD = 0.1
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=_JACCARD_THRESHOLD)
+
+
+SQL_NGRAM_JACCARD = f"""WITH {_SHINGLE_CTES},
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= {_JACCARD_THRESHOLD}"""
+
+_N_PERM = 8
+_MH_A, _MH_B = minhash_params(_N_PERM)
+_MH_P = (1 << 61) - 1
+_H32 = "(('0x' || substring(md5(shingle), 1, 8))::BIGINT)"
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return dedup.minhash_signatures(_docs(spark, sf_dir), n_perm=_N_PERM).select(
+        "doc_id", "perm", F.col("minhash").cast("long").alias("minhash")
+    )
+
+
+_MH_VALUES = ", ".join(
+    f"({i}, {_MH_A[i]}, {_MH_B[i]})" for i in range(_N_PERM)
+)
+
+_MH_CTES = f"""{_SHINGLE_CTES},
+shh AS (SELECT doc_id, {_H32} AS h FROM sh),
+perms(perm, a, b) AS (VALUES {_MH_VALUES}),
+mh AS (SELECT doc_id, perm, min((p.a * s.h + p.b) % {_MH_P})::BIGINT AS minhash
+       FROM shh s CROSS JOIN perms p GROUP BY 1, 2)"""
+
+SQL_MINHASH_SIGNATURES = f"WITH {_MH_CTES} SELECT doc_id, perm, minhash FROM mh"
+
+
+def q_lsh_candidates(spark, sf_dir):
+    sigs = dedup.minhash_signatures(_docs(spark, sf_dir), n_perm=_N_PERM)
+    return dedup.lsh_candidate_pairs(sigs, n_bands=4).select(
+        F.col("id_a").cast("long").alias("id_a"), F.col("id_b").cast("long").alias("id_b")
+    )
+
+
+SQL_LSH_CANDIDATES = f"""WITH {_MH_CTES},
+bands AS (SELECT doc_id, (perm // 2) AS band,
+                 md5(string_agg(minhash::VARCHAR, ',' ORDER BY perm)) AS band_key
+          FROM mh GROUP BY 1, 2)
+SELECT DISTINCT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id"""
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash32(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("simhash").cast("long").alias("simhash")
+    )
+
+
+_SIMHASH_CTES = f"""{BASE_CTES},
+tfh AS (SELECT doc_id, tf, (('0x' || substring(md5(term), 1, 8))::BIGINT) AS h FROM tf),
+bits AS (SELECT doc_id, bit, sum(tf * (((h >> bit) & 1) * 2 - 1)) AS s
+         FROM tfh CROSS JOIN (SELECT unnest(range(0, 32)) AS bit) b GROUP BY 1, 2),
+sim AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+        FROM bits GROUP BY 1)"""
+
+SQL_SIMHASH = f"WITH {_SIMHASH_CTES} SELECT doc_id, simhash FROM sim"
+
+_MAX_HAMMING = 3
+
+
+def q_simhash_pairs(spark, sf_dir):
+    # band-blocked + verify; lossless vs brute force for hamming<=3 with 4
+    # byte-bands (pigeonhole), so the O(n^2) SQL oracle is exact.
+    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=_MAX_HAMMING).select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.col("hamming").cast("int"),
+    )
+
+
+SQL_SIMHASH_PAIRS = f"""WITH {_SIMHASH_CTES}
+SELECT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_MAX_HAMMING}"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def _query_vec(spark, sf_dir) -> list[float]:
+    row = (
+        _load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+SQL_COSINE_TOPK = """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+c AS (
+  SELECT vec_id,
+    list_sum(list_transform(range(1, len(embedding) + 1),
+             i -> embedding[i]::DOUBLE * qe[i]::DOUBLE))
+    / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+       * sqrt(list_sum(list_transform(qe, x -> x::DOUBLE * x::DOUBLE)))) AS cos
+  FROM embeddings CROSS JOIN q
+)
+SELECT vec_id, round(cos, 6) AS cos FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10"""
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.ann_topk(
+        emb, _query_vec(spark, sf_dir), k=10, n_planes=16, n_bands=4, seed=42
+    )
+
+
+def _ann_topk_sql(sf_dir: str) -> str:
+    """Planes + query signature are deterministic (seed=42); the query vector
+    is embeddings[vec_id=0]. Generates the plane weights as VALUES rows."""
+    import numpy as np
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    pdf = tbl.to_pandas()
+    qv = np.array(pdf.loc[pdf.vec_id == 0, "embedding"].iloc[0], dtype=np.float64)
+    dim = len(qv)
+    planes = similarity._planes(dim, 16, 42)
+    qsig = 0
+    for i in range(16):
+        if float(qv @ planes[i]) > 0:
+            qsig |= 1 << i
+    vals = ", ".join(
+        f"({p}, {i + 1}, {planes[p][i]!r})" for p in range(16) for i in range(dim)
+    )
+    bands = " OR ".join(
+        f"((sig >> {b * 4}) & 15) = {(qsig >> (b * 4)) & 15}" for b in range(4)
+    )
+    return f"""WITH planes(p, i, w) AS (VALUES {vals}),
+dots AS (SELECT e.vec_id, pl.p, sum(e.embedding[pl.i]::DOUBLE * pl.w) AS d
+         FROM embeddings e CROSS JOIN planes pl GROUP BY 1, 2),
+sigs AS (SELECT vec_id, sum(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS sig
+         FROM dots GROUP BY 1),
+cand AS (SELECT vec_id FROM sigs WHERE {bands}),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+c AS (
+  SELECT e.vec_id,
+    list_sum(list_transform(range(1, len(e.embedding) + 1),
+             i -> e.embedding[i]::DOUBLE * qe[i]::DOUBLE))
+    / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+       * sqrt(list_sum(list_transform(qe, x -> x::DOUBLE * x::DOUBLE)))) AS cos
+  FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+)
+SELECT vec_id, round(cos, 6) AS cos FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def q_lang_id(spark, sf_dir):
+    return textstats.lang_id(_docs(spark, sf_dir))
+
+
+_STOPLIST = "[" + ", ".join(f"'{w}'" for w in textstats.EN_STOPWORDS) + "]"
+
+SQL_LANG_ID = f"""WITH tokd AS (SELECT doc_id, {_TOKS_TEXT} AS t FROM documents)
+SELECT doc_id,
+  round(CASE WHEN coalesce(len(t), 0) > 0
+        THEN len(list_filter(t, x -> list_contains({_STOPLIST}, x)))::DOUBLE / len(t)
+        ELSE 0.0 END, 6) AS en_ratio,
+  CASE WHEN coalesce(len(t), 0) = 0 THEN 'unknown'
+       WHEN len(list_filter(t, x -> list_contains({_STOPLIST}, x)))::DOUBLE / len(t) > 0.05 THEN 'en'
+       ELSE 'other' END AS lang_pred
+FROM tokd"""
+
+
+def q_quality(spark, sf_dir):
+    df = textstats.quality_score(_docs(spark, sf_dir))
+    return df.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "mean_token_len",
+        "alpha_ratio",
+        "stop_ratio",
+        "quality",
+    )
+
+
+SQL_QUALITY = f"""WITH tokd AS (
+  SELECT d.doc_id, {_TOKS_TEXT} AS t, coalesce(d.text, '') AS txt FROM documents d
+),
+m AS (
+  SELECT doc_id,
+    coalesce(len(t), 0)::BIGINT AS n_tokens,
+    CASE WHEN coalesce(len(t), 0) > 0
+         THEN coalesce(list_sum(list_transform(t, x -> length(x))), 0)::DOUBLE / len(t)
+         ELSE 0.0 END AS mean_token_len,
+    CASE WHEN length(txt) > 0
+         THEN length(regexp_replace(txt, '[^A-Za-z]', '', 'g'))::DOUBLE / length(txt)
+         ELSE 0.0 END AS alpha_ratio,
+    CASE WHEN coalesce(len(t), 0) > 0
+         THEN len(list_filter(t, x -> list_contains({_STOPLIST}, x)))::DOUBLE / len(t)
+         ELSE 0.0 END AS stop_ratio
+  FROM tokd
+)
+SELECT doc_id, n_tokens, round(mean_token_len, 6) AS mean_token_len,
+  round(alpha_ratio, 6) AS alpha_ratio, round(stop_ratio, 6) AS stop_ratio,
+  round(least(n_tokens / 20.0, 1.0) * 0.4 + alpha_ratio * 0.4
+        + least(stop_ratio * 5.0, 1.0) * 0.2, 6) AS quality
+FROM m"""
+
+
+def q_token_counts(spark, sf_dir):
+    df = textstats.token_counts(_docs(spark, sf_dir))
+    return df.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+        F.col("n_alpha_tokens").cast("long").alias("n_alpha_tokens"),
+    )
+
+
+SQL_TOKEN_COUNTS = f"""WITH tokd AS (SELECT doc_id, {_TOKS_TEXT} AS t FROM documents)
+SELECT d.doc_id,
+  length(coalesce(d.text, ''))::BIGINT AS n_chars,
+  len(list_filter(regexp_split_to_array(coalesce(d.text, ''), '\\s+'), x -> x <> ''))::BIGINT AS n_ws_tokens,
+  coalesce(len(t.t), 0)::BIGINT AS n_alpha_tokens
+FROM documents d JOIN tokd t ON d.doc_id = t.doc_id"""
+
+
+def q_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(_docs(spark, sf_dir))
+
+
+SQL_FINGERPRINT = f"""WITH tokd AS (SELECT doc_id, {_TOKS_TEXT} AS t FROM documents)
+SELECT doc_id,
+  md5(array_to_string(list_sort(list_distinct(coalesce(t, []))), ' ')) AS fp
+FROM tokd"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def q_payload_meta(spark, sf_dir):
+    media = multimodal.wrap_text_as_media(_docs(spark, sf_dir))
+    return multimodal.payload_meta(media).select(
+        "media_id", "kind", F.col("n_bytes").cast("long").alias("n_bytes"), "payload_md5"
+    )
+
+
+SQL_PAYLOAD_META = (
+    "SELECT doc_id::BIGINT AS media_id, 'image' AS kind,"
+    " strlen(coalesce(text, ''))::BIGINT AS n_bytes,"
+    " md5(coalesce(text, '')) AS payload_md5 FROM documents"
+)
+
+
+def q_media_features(spark, sf_dir):
+    """Rows-only check: deterministic fake decoder (real decode stubbed)."""
+    media = multimodal.wrap_text_as_media(_docs(spark, sf_dir))
+    return multimodal.extract_features(media, dim=8)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        # core inverted-index engine
+        "term_stats": q_term_stats,
+        "doc_lengths": q_doc_lengths,
+        "corpus_scalars": q_corpus_scalars,
+        "tf_postings": q_tf_postings,
+        "bm25_topk_multi": _bm25_topk("spark join fast", 10),
+        "bm25_topk_rare": _bm25_topk("dup", 10),
+        "bm25_topk_dupterms": _bm25_topk("the the data", 10),
+        "reference_topk": _reference_topk("spark join", 10, 1000),
+        "reference_topk_capped": _reference_topk("spark join", 10, 50),
+        "batch_topk": q_batch_topk,
+        "doc_id_rank": q_doc_id_rank,
+        # dedup
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard_pairs": q_ngram_jaccard,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_candidate_pairs": q_lsh_candidates,
+        "simhash32": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        # similarity
+        "cosine_topk": q_cosine_topk,
+        "ann_topk": q_ann_topk,
+        # text analysis
+        "lang_id": q_lang_id,
+        "quality_score": q_quality,
+        "token_counts": q_token_counts,
+        "doc_fingerprint": q_fingerprint,
+        # multimodal plumbing
+        "payload_meta": q_payload_meta,
+        "media_features": q_media_features,  # rows-only (stubbed decoder)
+    }
+
+
+def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
+    return {
+        "term_stats": SQL_TERM_STATS,
+        "doc_lengths": SQL_DOC_LENGTHS,
+        "corpus_scalars": SQL_CORPUS_SCALARS,
+        "tf_postings": SQL_TF_POSTINGS,
+        "bm25_topk_multi": _bm25_topk_sql("spark join fast", 10),
+        "bm25_topk_rare": _bm25_topk_sql("dup", 10),
+        "bm25_topk_dupterms": _bm25_topk_sql("the the data", 10),
+        "reference_topk": _reference_topk_sql("spark join", 10, 1000),
+        "reference_topk_capped": _reference_topk_sql("spark join", 10, 50),
+        "batch_topk": _batch_topk_sql(5),
+        "doc_id_rank": SQL_DOC_ID_RANK,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
+        "minhash_signatures": SQL_MINHASH_SIGNATURES,
+        "lsh_candidate_pairs": SQL_LSH_CANDIDATES,
+        "simhash32": SQL_SIMHASH,
+        "simhash_pairs": SQL_SIMHASH_PAIRS,
+        "cosine_topk": SQL_COSINE_TOPK,
+        "ann_topk": _ann_topk_sql(sf_dir),
+        "lang_id": SQL_LANG_ID,
+        "quality_score": SQL_QUALITY,
+        "token_counts": SQL_TOKEN_COUNTS,
+        "doc_fingerprint": SQL_FINGERPRINT,
+        "payload_meta": SQL_PAYLOAD_META,
+        # media_features: intentionally omitted (stubbed decoder -> rows-only)
+    }

@@ -1,0 +1,260 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All JVM-side column arithmetic (no Python UDF in any hot path):
+
+- exact           : hash-groupBy on md5(text)
+- n-gram Jaccard  : word-shingle inverted join (exact pairwise similarity,
+                    bounded by shared shingles — the verification path)
+- MinHash + LSH   : (a*h32(shingle)+b) mod P signatures -> banded bucket
+                    join (the 100 TB scale path; candidate pairs only touch
+                    docs that collide in >=1 band)
+- SimHash (32-bit): per-bit weighted majority of term-hash bits; near-dup
+                    iff hamming distance <= threshold
+
+Scale notes: shingle/band joins are shuffles on short strings; LSH keeps the
+candidate set near-linear. The pairwise Jaccard join is only run on LSH
+candidates at scale (``jaccard_of_candidates``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from searchengine_spark.functions.hashing import (
+    MERSENNE_P,
+    h32_col,
+    minhash_params,
+)
+from searchengine_spark.functions.tokenize import tokenize_udf
+
+SHINGLE_K = 3
+
+
+def with_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn("tokens", tokenize_udf(F.col(text_col)))
+
+
+def shingles_expr(tokens_col: str = "tokens", k: int = SHINGLE_K) -> F.Column:
+    """Word k-gram shingles as array<string> (JVM-side, no UDF)."""
+    t = tokens_col
+    parts = ", ".join(f"element_at({t}, i + {j})" for j in range(k))
+    return F.expr(
+        f"transform(sequence(1, greatest(size({t}) - {k - 1}, 0)), i -> concat_ws(' ', {parts}))"
+    )
+
+
+def doc_shingles(docs: DataFrame, id_col: str = "doc_id", k: int = SHINGLE_K) -> DataFrame:
+    """docs(id, text) -> distinct (id, shingle)."""
+    return (
+        with_tokens(docs)
+        .select(id_col, F.explode(shingles_expr(k=k)).alias("shingle"))
+        .distinct()
+    )
+
+
+# -- exact ------------------------------------------------------------------
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """-> (text_md5, n_dups, keep_id): one row per distinct text, keeper =
+    min id. Filter n_dups > 1 for the duplicate report."""
+    return docs.groupBy(F.md5(F.col(text_col)).alias("text_md5")).agg(
+        F.count("*").alias("n_dups"),
+        F.min(id_col).alias("keep_id"),
+    )
+
+
+# -- exact pairwise n-gram Jaccard -------------------------------------------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """-> (id_a, id_b, jaccard) for pairs with Jaccard(shingle sets) >= τ.
+
+    Inverted-index join: pairs only materialize for docs sharing a shingle.
+    At 100 TB this runs on LSH candidates, not the full corpus.
+    """
+    sh = doc_shingles(docs, id_col, k).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# -- MinHash + LSH ------------------------------------------------------------
+
+def minhash_signatures(
+    docs: DataFrame,
+    n_perm: int = 16,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """-> (id, perm, minhash): n_perm rows per doc.
+
+    One shuffle: explode shingles, per-perm affine hash of h32(shingle)
+    (pure column arithmetic), groupBy(id) with min() per perm — expressed as
+    perm-exploded rows so the aggregation is a plain hash agg.
+    """
+    a, b = minhash_params(n_perm, seed)
+    sh = doc_shingles(docs, id_col, k).withColumn("h", h32_col(F.col("shingle")))
+    perms = F.array(*[
+        F.struct(
+            F.lit(i).alias("perm"),
+            ((F.lit(a[i]) * F.col("h") + F.lit(b[i])) % F.lit(MERSENNE_P)).alias("ph"),
+        )
+        for i in range(n_perm)
+    ])
+    return (
+        sh.select(id_col, F.explode(perms).alias("p"))
+        .groupBy(id_col, F.col("p.perm").alias("perm"))
+        .agg(F.min("p.ph").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, perm, minhash) -> candidate (id_a, id_b) sharing >=1 LSH band.
+
+    band id = perm // rows_per_band; band key = md5 of the concatenated
+    minhashes in perm order. Bucket join on (band, key).
+    """
+    n_perm_row = signatures.agg(F.max("perm").alias("m")).collect()[0]["m"]
+    rows_per_band = (int(n_perm_row) + 1) // n_bands
+    bands = (
+        signatures.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.concat_ws(",", F.sort_array(F.collect_list(F.struct("perm", "minhash"))).minhash)
+            ).alias("band_key")
+        )
+    )
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    n_perm: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Scale path: LSH candidates -> exact Jaccard verify -> pairs >= τ."""
+    sigs = minhash_signatures(docs, n_perm=n_perm, id_col=id_col)
+    cands = lsh_candidate_pairs(sigs, n_bands=n_bands, id_col=id_col)
+    sh = doc_shingles(docs, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    inter = (
+        cands.join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# -- SimHash ------------------------------------------------------------------
+
+def simhash32(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """-> (id, simhash:long): 32-bit SimHash over term h32 hashes weighted
+    by tf. Bit b set iff sum over terms of tf * (2*bit_b(h)-1) > 0.
+
+    Pure column arithmetic: explode (term, tf), cross with 32 bit positions
+    via an inline array, hash-agg per (id, bit), then bit-OR reassembly.
+    """
+    from searchengine_spark.functions.tokenize import term_counts_udf
+
+    tf = docs.select(
+        id_col, F.explode(term_counts_udf(F.col("text"))).alias("p")
+    ).select(id_col, F.col("p.term").alias("term"), F.col("p.tf").alias("tf"))
+    tf = tf.withColumn("h", h32_col(F.col("term")))
+    bits = tf.select(
+        id_col,
+        "tf",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("bit"),
+                    (F.shiftright(F.col("h"), b) % 2).alias("is_set"),
+                )
+                for b in range(32)
+            ])
+        ).alias("x"),
+    ).select(
+        id_col,
+        F.col("x.bit").alias("bit"),
+        (F.col("tf") * (F.col("x.is_set") * 2 - 1)).alias("w"),
+    )
+    per_bit = bits.groupBy(id_col, "bit").agg(F.sum("w").alias("s"))
+    bit_value = F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+    return per_bit.groupBy(id_col).agg(
+        F.sum(F.when(F.col("s") > 0, bit_value).otherwise(0)).alias("simhash")
+    )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Scale path: block on 4 byte-bands of the hash (any match => candidate),
+    then exact popcount verify — avoids the full cross join.
+    """
+    sh = simhash32(docs, id_col)
+    bands = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band"),
+                         (F.shiftright(F.col("simhash"), i * 8) % 256).alias("key"))
+                for i in range(4)
+            ])
+        ).alias("b"),
+    ).select(id_col, "simhash", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    a = bands.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "key")
+    b = bands.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

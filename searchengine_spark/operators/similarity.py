@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k  : exact baseline, pure JVM column arithmetic
+  (zip_with + aggregate — no Python in the loop)
+- LSH-bucketed ANN          : random-hyperplane signatures (deterministic
+  seeded planes), bucket join + exact re-rank — the 100 TB scale path
+  (candidates ~ bucket collisions, not the full corpus)
+- embedding near-dup pairs  : cosine >= τ via LSH candidates
+
+At cluster scale the query side is tiny -> broadcast; the corpus side
+scans columnar parquet with only (id, embedding) read (column pruning).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str) -> F.Column:
+    return F.sqrt(F.expr(f"aggregate({a}, 0D, (acc, v) -> acc + v * v)"))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k vs one query vector ->
+    (id, cos) ordered (cos desc, id asc). The query vector is a literal
+    array (broadcast by value into codegen)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    df = embeddings.withColumn("_q", q)
+    cos = _dot(vec_col, "_q") / (_norm(vec_col) * _norm("_q"))
+    return (
+        df.select(F.col(id_col), F.round(cos, 6).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_signatures(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (id, sig:long): random-hyperplane signature, bit i = sign of
+    dot(v, plane_i). Pure column arithmetic over literal plane arrays."""
+    planes = _planes(dim, n_planes, seed)
+    sig = F.lit(0).cast("long")
+    for i in range(n_planes):
+        p = F.array(*[F.lit(float(x)) for x in planes[i]])
+        d = F.expr(
+            f"aggregate(zip_with({vec_col}, _p{i}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+        )
+        embeddings = embeddings.withColumn(f"_p{i}", p).withColumn(
+            f"_b{i}", F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
+        )
+        sig = sig + F.col(f"_b{i}")
+    return embeddings.select(F.col(id_col), sig.alias("sig"))
+
+
+def ann_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: LSH band-bucket filter -> exact cosine re-rank.
+
+    Bands of n_planes/n_bands bits; a vector is a candidate iff it matches
+    the query signature in >=1 band. Recall tested vs brute force.
+    """
+    dim = len(query_vec)
+    sigs = lsh_signatures(embeddings, dim, n_planes, seed, id_col, vec_col)
+    planes = _planes(dim, n_planes, seed)
+    qv = np.asarray(query_vec)
+    qsig = 0
+    for i in range(n_planes):
+        if float(qv @ planes[i]) > 0:
+            qsig |= 1 << i
+    bits_per_band = n_planes // n_bands
+    mask = (1 << bits_per_band) - 1
+    cond = None
+    for b in range(n_bands):
+        band = (F.shiftright(F.col("sig"), b * bits_per_band) % (mask + 1))
+        qband = (qsig >> (b * bits_per_band)) & mask
+        c = band == F.lit(qband)
+        cond = c if cond is None else (cond | c)
+    cands = sigs.filter(cond).select(id_col)
+    return cosine_topk(
+        embeddings.join(cands, id_col), query_vec, k, id_col, vec_col
+    )
+
+
+def cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs (cos >= τ) via LSH candidates + exact verify."""
+    dim = len(embeddings.select(F.size(vec_col)).first()[0] * [0])
+    sigs = lsh_signatures(embeddings, dim, n_planes, seed, id_col, vec_col)
+    bits_per_band = n_planes // n_bands
+    bands = sigs.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    (F.shiftright(F.col("sig"), b * bits_per_band)
+                     % (1 << bits_per_band)).alias("key"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("x"),
+    ).select(id_col, "x.band", "x.key")
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "key")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "key")
+    cand = a.join(b, ["band", "key"]).filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b"
+    ).distinct()
+    ea = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    eb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cos = _dot("va", "vb") / (_norm("va") * _norm("vb"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("cos", F.round(cos, 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,100 @@
+"""Text analysis for training-data pipelines: language ID, quality scoring,
+token counting, document fingerprinting. All SQL-expressible column
+arithmetic except tokenization (shared Arrow tokenizer)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators.dedup import with_tokens
+
+EN_STOPWORDS = [
+    "the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
+    "on", "was", "with", "as", "be", "at", "by", "this", "are", "or",
+]
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """-> (id, n_chars, n_ws_tokens, n_alpha_tokens): char length,
+    whitespace-split count, admitted-token count (a cheap BPE-ish proxy
+    would add ~1.3x n_ws_tokens; we report the exact measurable counts)."""
+    d = with_tokens(docs)
+    return d.select(
+        id_col,
+        F.length(F.coalesce(F.col("text"), F.lit(""))).alias("n_chars"),
+        F.size(
+            F.filter(
+                F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("n_ws_tokens"),
+        F.size("tokens").alias("n_alpha_tokens"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", threshold: float = 0.05) -> DataFrame:
+    """-> (id, en_ratio, lang): stopword-ratio heuristic language ID.
+    en_ratio = |tokens ∩ EN_STOPWORDS| / |tokens|; 'en' iff ratio > τ,
+    'unknown' for empty docs."""
+    d = with_tokens(docs)
+    stop = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_stop = F.size(F.filter(F.col("tokens"), lambda t: F.array_contains(stop, t)))
+    n_tok = F.size("tokens")
+    ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    return d.select(
+        id_col,
+        F.round(ratio, 6).alias("en_ratio"),
+        F.when(n_tok == 0, F.lit("unknown"))
+        .when(ratio > threshold, F.lit("en"))
+        .otherwise(F.lit("other"))
+        .alias("lang_pred"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """-> (id, n_tokens, mean_token_len, alpha_ratio, stop_ratio, quality).
+
+    quality in [0,1]: penalizes very short docs, low alphabetic density and
+    stopword-free (likely non-linguistic) text — the standard cheap filters
+    in web-scale corpus cleaning.
+    """
+    d = with_tokens(docs)
+    stop = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_tok = F.size("tokens")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    n_chars = F.length(text)
+    n_alpha_chars = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    tok_chars = F.expr("aggregate(tokens, 0, (acc, t) -> acc + length(t))")
+    mean_len = F.when(n_tok > 0, tok_chars / n_tok).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n_chars > 0, n_alpha_chars / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        n_tok > 0,
+        F.size(F.filter(F.col("tokens"), lambda t: F.array_contains(stop, t))) / n_tok,
+    ).otherwise(F.lit(0.0))
+    quality = (
+        F.least(n_tok / F.lit(20.0), F.lit(1.0)) * F.lit(0.4)
+        + alpha_ratio * F.lit(0.4)
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * F.lit(0.2)
+    )
+    return d.select(
+        id_col,
+        n_tok.alias("n_tokens"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """-> (id, fp): order-insensitive content fingerprint = md5 of the
+    sorted distinct admitted tokens. Stable under token reordering —
+    the cheap 'same bag of words' dedup key."""
+    d = with_tokens(docs)
+    return d.select(
+        id_col,
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(F.col("tokens"))))
+        ).alias("fp"),
+    )

@@ -65,6 +65,29 @@ def _cap_postings(joined: DataFrame, cap: int) -> DataFrame:
     )
 
 
+def score_all(
+    tf_table: DataFrame,
+    term_stats: DataFrame,
+    scalars: CorpusScalars,
+    query: str,
+    mode: str = "bm25",
+    posting_cap: int | None = None,
+) -> DataFrame:
+    """Single-query exhaustive scoring, NO limit -> (doc_id, score) for every
+    matching doc. Callers choose precision/ordering (full precision for
+    oracle rank-identity; rounded-then-ranked for cross-engine hashing)."""
+    spark = tf_table.sparkSession
+    qt = query_terms_df(spark, query)
+    joined = (
+        tf_table.join(F.broadcast(qt), "term")
+        .join(term_stats, "term")
+    )
+    if mode == "reference":
+        joined = _cap_postings(joined, posting_cap or REFERENCE_POSTING_CAP)
+    scored = _partial_weight(joined, scalars, mode)
+    return scored.groupBy("doc_id").agg(F.sum("partial").alias("score"))
+
+
 def score_topk(
     tf_table: DataFrame,
     term_stats: DataFrame,
@@ -76,18 +99,8 @@ def score_topk(
 ) -> DataFrame:
     """Single-query exhaustive top-k -> (doc_id, score), rank order pinned
     (score desc, doc_id asc)."""
-    spark = tf_table.sparkSession
-    qt = query_terms_df(spark, query)
-    joined = (
-        tf_table.join(F.broadcast(qt), "term")
-        .join(term_stats, "term")
-    )
-    if mode == "reference":
-        joined = _cap_postings(joined, posting_cap or REFERENCE_POSTING_CAP)
-    scored = _partial_weight(joined, scalars, mode)
     return (
-        scored.groupBy("doc_id")
-        .agg(F.sum("partial").alias("score"))
+        score_all(tf_table, term_stats, scalars, query, mode, posting_cap)
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
