@@ -188,6 +188,42 @@ SELECT doc_id, round(sum(w), 6) AS score FROM partial GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 
+def _doc_segments(spark, sf_dir):
+    from searchengine_spark.operators.segments import build_doc_segments
+
+    _, _, tf_table, stats, scalars = _index_parts(spark, sf_dir)
+    segs = build_doc_segments(
+        tf_table, stats, scalars.n_docs, scalars.avgdl, n_shards=8
+    )
+    return segs, tf_table, stats, scalars
+
+
+def q_segment_roundtrip(spark, sf_dir):
+    """Compressed segment build + decode: proves the delta+varint segment
+    codec is lossless at the driver gate (oracle = plain tf table)."""
+    from searchengine_spark.operators.segments import segments_to_tf
+
+    segs, *_ = _doc_segments(spark, sf_dir)
+    return segments_to_tf(segs).select(
+        "term", "doc_id", F.col("tf").cast("long").alias("tf")
+    )
+
+
+def _wand_topk(query: str, k: int = 10):
+    """Block-max WAND over doc-sharded segments — must match the exhaustive
+    BM25 oracle SQL exactly (rank + rounded score)."""
+    def run(spark, sf_dir):
+        from searchengine_spark.operators.wand import wand_topk
+
+        segs, _, stats, scalars = _doc_segments(spark, sf_dir)
+        topk = wand_topk(segs, query, stats, scalars.n_docs, scalars.avgdl, k=k)
+        return topk.select("doc_id", F.round("score", 6).alias("score")).orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+
+    return run
+
+
 _BATCH_QUERIES = ["spark join fast", "dup", "the the data", "window agg stream", "zzzabsent"]
 
 
@@ -579,6 +615,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_dupterms": _bm25_topk("the the data", 10),
         "reference_topk": _reference_topk("spark join", 10, 1000),
         "reference_topk_capped": _reference_topk("spark join", 10, 50),
+        "wand_topk": _wand_topk("spark join fast", 10),
+        "segment_roundtrip": q_segment_roundtrip,
         "batch_topk": q_batch_topk,
         "doc_id_rank": q_doc_id_rank,
         # dedup
@@ -613,6 +651,8 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "bm25_topk_dupterms": _bm25_topk_sql("the the data", 10),
         "reference_topk": _reference_topk_sql("spark join", 10, 1000),
         "reference_topk_capped": _reference_topk_sql("spark join", 10, 50),
+        "wand_topk": _bm25_topk_sql("spark join fast", 10),
+        "segment_roundtrip": SQL_TF_POSTINGS,
         "batch_topk": _batch_topk_sql(5),
         "doc_id_rank": SQL_DOC_ID_RANK,
         "dedup_exact": SQL_DEDUP_EXACT,

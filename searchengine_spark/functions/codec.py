@@ -22,12 +22,14 @@ __all__ = [
 ]
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode an array of non-negative ints (vectorized)."""
+def varint_encode_with_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode an array (vectorized); also return the per-value byte
+    START offsets (length n+1), so callers can slice the blob into
+    sub-ranges of values without re-encoding (segment batch encoder)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = v.size
     if n == 0:
-        return b""
+        return b"", np.zeros(1, np.int64)
     # bytes needed per value
     nbytes = np.ones(n, np.int64)
     t = v >> np.uint64(7)
@@ -47,7 +49,12 @@ def varint_encode(values: np.ndarray) -> bytes:
         out[pos[live]] = byte | (more.astype(np.uint8) << np.uint8(7))
         pos[live] += 1
         live = live[more]
-    return out.tobytes()
+    return out.tobytes(), offsets
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode an array of non-negative ints (vectorized)."""
+    return varint_encode_with_offsets(values)[0]
 
 
 def varint_decode(buf: bytes) -> np.ndarray:

@@ -48,7 +48,7 @@ def assign_doc_ids(
         num_partitions, *ORDER_COLS
     ).sortWithinPartitions(*ORDER_COLS)
     if persist:
-        ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
+        ranged = ranged.persist(StorageLevel.DISK_ONLY)
 
     # Phase 1: rows per physical partition (cheap count job).
     counts = (

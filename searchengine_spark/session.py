@@ -44,6 +44,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # Pre-fault the heap at JVM start: this sandbox's Firecracker kernel
+        # has an expensive page-fault path, and demand-faulting a 24g heap
+        # from 32 task threads shows up as 40-80% kernel time.
+        .config("spark.driver.extraJavaOptions", "-XX:+AlwaysPreTouch")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

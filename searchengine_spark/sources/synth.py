@@ -129,6 +129,89 @@ def transcripts_df(spark, n_convs: int = 500, seed: int = SEED, partitions: int 
     return df
 
 
+def transcripts_spark(spark, n_convs: int, seed: int = SEED,
+                      partitions: int | None = None):
+    """Distributed deterministic transcripts generator (bench-scale corpora).
+
+    Each conversation is generated from ``default_rng((seed, conv_id))``, so
+    the corpus is IDENTICAL regardless of partitioning/parallelism — the
+    "same input at N and 4N cores" requirement of the scaling harness —
+    and generation cost scales out instead of serializing on the driver
+    (at 10^12 turns a driver-side generator is impossible anyway).
+
+    Statistics mirror ``transcripts_pdf``: Zipfian vocab draws (skewed
+    high-df terms), 5-60 words/turn, ~5% empty turns, noise tokens that
+    exercise the tokenizer drop rules.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("role", T.StringType(), False),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("tool", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), False),
+        ]
+    )
+    base = _BASE_TS.replace(tzinfo=None)
+
+    def gen(batches):
+        words = np.array(vocab())
+        nv = len(words)
+        noise = _NOISE
+        for pdf in batches:
+            conv_ids, turn_idxs, roles, texts, tools, tss = [], [], [], [], [], []
+            for cid in pdf["id"]:
+                cid = int(cid)
+                rng = np.random.default_rng((seed, cid))
+                n_turns = int(min(1 + rng.zipf(2.0), 40))
+                twords = rng.integers(5, 61, size=n_turns)
+                draws = np.minimum(rng.zipf(1.3, size=int(twords.sum())) - 1, nv - 1)
+                empty = rng.random(n_turns) < 0.05
+                noisy = rng.random(n_turns) < 0.30
+                npick = rng.integers(0, len(noise), size=n_turns)
+                toolish = rng.random(n_turns) < 0.1
+                off = 0
+                for t in range(n_turns):
+                    k = int(twords[t])
+                    if empty[t]:
+                        txt = "" if t % 2 == 0 else "   "
+                    else:
+                        ws = words[draws[off:off + k]].tolist()
+                        if noisy[t]:
+                            ws.insert(k // 2, noise[npick[t]])
+                        txt = " ".join(ws)
+                    off += k
+                    role = "tool" if toolish[t] else ("user" if t % 2 == 0 else "assistant")
+                    conv_ids.append(f"conv{cid:010d}")
+                    turn_idxs.append(t)
+                    roles.append(role)
+                    texts.append(txt)
+                    tools.append(TOOLS[t % len(TOOLS)] if role == "tool" else None)
+                    tss.append(base + _dt.timedelta(seconds=cid * 3600 + t * 30))
+            yield pd.DataFrame(
+                {
+                    "conv_id": conv_ids,
+                    "turn_idx": pd.Series(turn_idxs, dtype="int32"),
+                    "role": roles,
+                    "text": texts,
+                    "tool": tools,
+                    "ts": tss,
+                }
+            )
+
+    return (
+        spark.range(0, n_convs, 1, partitions)
+        .mapInPandas(gen, schema=schema)
+    )
+
+
 def queries_pdf(n_queries: int = 100, seed: int = SEED) -> pd.DataFrame:
     """Reference query set (FIXTURES.md §2): 1-5 words; duplicate-term,
     hot-term, rare-term, absent-term, and mixed queries included."""

@@ -1,0 +1,159 @@
+"""M2/M3/M4 tests: segment codec round-trips, block-max admissibility,
+salting activation, and WAND-vs-exhaustive rank identity (the adversarial
+agreement check from SURVEY.md §7 M4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.build import build_index
+from searchengine_spark.operators.segments import (
+    BLOCK,
+    bm25_core_np,
+    decode_payload,
+    salt_plan,
+    segments_to_tf,
+)
+from searchengine_spark.operators.topk import score_topk
+from searchengine_spark.operators.wand import wand_topk
+from searchengine_spark.sources.synth import vocab
+
+
+@pytest.fixture(scope="module")
+def index(spark, small):
+    idx = build_index(
+        small, num_doc_partitions=4, n_shards=5, layouts=("doc", "term"),
+        df_target=40,
+    )
+    idx.doc_segments.count()
+    idx.term_segments.count()
+    return idx
+
+
+def _tf_set(df):
+    return set(map(tuple, df.select("term", "doc_id", "tf", "dl").collect()))
+
+
+def test_doc_segments_roundtrip(index):
+    assert _tf_set(segments_to_tf(index.doc_segments)) == _tf_set(index.tf_table)
+
+
+def test_term_segments_roundtrip(index):
+    assert _tf_set(segments_to_tf(index.term_segments)) == _tf_set(index.tf_table)
+
+
+def test_doc_shards_are_ranges(index):
+    """Each shard owns a contiguous disjoint doc range (range sharding)."""
+    rows = index.doc_segments.collect()
+    lo, hi = {}, {}
+    for r in rows:
+        d, _, _ = decode_payload(r)
+        lo[r.shard] = min(lo.get(r.shard, 1 << 62), int(d.min()))
+        hi[r.shard] = max(hi.get(r.shard, -1), int(d.max()))
+    shards = sorted(lo)
+    for a, b in zip(shards, shards[1:]):
+        assert hi[a] < lo[b]
+
+
+def test_block_max_admissible(index):
+    """block_max_core is a TIGHT upper bound of every posting's idf-free
+    BM25 core in its block, and block_last_doc is the block's max doc."""
+    avgdl = index.scalars.avgdl
+    for r in index.doc_segments.collect():
+        d, t, l = decode_payload(r)
+        w = bm25_core_np(t, l, avgdl)
+        for b in range(0, len(d), BLOCK):
+            blk = slice(b, b + BLOCK)
+            i = b // BLOCK
+            assert w[blk].max() <= r.block_max_core[i] + 1e-12
+            assert r.block_max_core[i] <= w[blk].max() + 1e-12
+            assert int(d[blk].max()) == r.block_last_doc[i]
+
+
+def test_salting_activates_and_caps(index):
+    """High-df terms (df > df_target=40) are split across multiple salts;
+    each salted segment stays <= df_target postings (SURVEY.md §4 skew)."""
+    plan = {r["term"]: r["n_salts"] for r in
+            salt_plan(index.term_stats, 40).collect()}
+    assert plan, "fixture corpus must contain skewed terms"
+    seg = index.term_segments.groupBy("term").agg(
+        F.countDistinct("salt").alias("n_salts"), F.max("n").alias("max_n")
+    ).collect()
+    by_term = {r["term"]: r for r in seg}
+    for term, n_salts in plan.items():
+        assert by_term[term]["n_salts"] > 1
+        assert by_term[term]["n_salts"] <= n_salts
+    # unsalted terms: exactly one salt
+    for term, r in by_term.items():
+        if term not in plan:
+            assert r["n_salts"] == 1
+
+
+def test_salted_segments_disjoint(index):
+    """Salts of one term partition its postings (no dup/loss across salts)
+    — already implied by the round-trip, but assert per-term explicitly."""
+    stats = {r["term"]: r["df"] for r in index.term_stats.collect()}
+    seg_n = index.term_segments.groupBy("term").agg(F.sum("n").alias("n")).collect()
+    for r in seg_n:
+        assert r["n"] == stats[r["term"]]
+
+
+QUERY_CASES = [
+    "hot_single", "rare", "dup_term", "hot_plus_rare", "multi", "absent",
+    "mixed_absent", "many_terms",
+]
+
+
+def _queries():
+    w = vocab()
+    return {
+        "hot_single": w[0],
+        "rare": w[4999],
+        "dup_term": f"{w[1]} {w[1]}",
+        "hot_plus_rare": f"{w[0]} {w[4999]}",
+        "multi": f"{w[2]} {w[7]} {w[30]} {w[200]}",
+        "absent": "zzznope qqqmissing",
+        "mixed_absent": f"{w[3]} zzznope",
+        "many_terms": " ".join(w[i] for i in (0, 1, 2, 3, 5, 8, 13, 21, 34, 55)),
+    }
+
+
+@pytest.mark.parametrize("case", QUERY_CASES)
+def test_wand_matches_exhaustive(index, case):
+    q = _queries()[case]
+    k = 10
+    wand = wand_topk(
+        index.doc_segments, q, index.term_stats, index.scalars.n_docs,
+        index.scalars.avgdl, k=k
+    ).collect()
+    exh = score_topk(index.tf_table, index.term_stats, index.scalars, q, k=k).collect()
+    assert [r.doc_id for r in wand] == [r.doc_id for r in exh]
+    for a, b in zip(wand, exh):
+        assert a.score == pytest.approx(b.score, rel=1e-9)
+
+
+def test_wand_random_queries_adversarial(index):
+    """50 random queries drawn from corpus vocabulary — rank identity."""
+    rng = np.random.default_rng(7)
+    w = vocab()
+    for _ in range(50):
+        n_terms = int(rng.integers(1, 6))
+        q = " ".join(w[int(i)] for i in rng.integers(0, 3000, size=n_terms))
+        wand = wand_topk(
+            index.doc_segments, q, index.term_stats, index.scalars.n_docs,
+            index.scalars.avgdl, k=5
+        ).collect()
+        exh = score_topk(index.tf_table, index.term_stats, index.scalars, q, k=5).collect()
+        assert [r.doc_id for r in wand] == [r.doc_id for r in exh], q
+        for a, b in zip(wand, exh):
+            assert a.score == pytest.approx(b.score, rel=1e-9)
+
+
+def test_compression_ratio(index):
+    """Delta+varint must beat the reference's raw 8 B/posting layout."""
+    rows = index.doc_segments.select("n", "doc_gaps", "tfs").collect()
+    n = sum(r["n"] for r in rows)
+    enc = sum(len(r["doc_gaps"]) + len(r["tfs"]) for r in rows)
+    assert enc / n < 8.0, f"{enc / n:.2f} B/posting (docs+tfs) vs 8 B raw"
