@@ -209,6 +209,35 @@ def q_segment_roundtrip(spark, sf_dir):
     )
 
 
+def q_merge_roundtrip(spark, sf_dir):
+    """Sort-merge of two independently built segment tables (doc-id-range
+    halves of the corpus) decodes to exactly the full corpus tf table —
+    the incremental-indexing correctness gate (operators/merge.py)."""
+    from searchengine_spark.operators.merge import merge_term_segments
+    from searchengine_spark.operators.segments import (
+        build_term_segments,
+        segments_to_tf,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pivot = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    halves = [docs.filter(F.col("doc_id") < pivot), docs.filter(F.col("doc_id") >= pivot)]
+    parts = []
+    for h in halves:
+        forward = build_forward(h)
+        tf_table = explode_forward(forward)
+        stats = build_term_stats(tf_table)
+        sc = CorpusScalars.compute(forward)
+        parts.append(
+            (build_term_segments(tf_table, stats, sc.n_docs, sc.avgdl,
+                                 df_target=64), 0)  # doc_ids already global
+        )
+    merged = merge_term_segments(parts, avgdl_merged=30.0, df_target=64)
+    return segments_to_tf(merged).select(
+        "term", "doc_id", F.col("tf").cast("long").alias("tf")
+    )
+
+
 def _wand_topk(query: str, k: int = 10):
     """Block-max WAND over doc-sharded segments — must match the exhaustive
     BM25 oracle SQL exactly (rank + rounded score)."""
@@ -617,6 +646,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reference_topk_capped": _reference_topk("spark join", 10, 50),
         "wand_topk": _wand_topk("spark join fast", 10),
         "segment_roundtrip": q_segment_roundtrip,
+        "merge_segments_roundtrip": q_merge_roundtrip,
         "batch_topk": q_batch_topk,
         "doc_id_rank": q_doc_id_rank,
         # dedup
@@ -653,6 +683,7 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "reference_topk_capped": _reference_topk_sql("spark join", 10, 50),
         "wand_topk": _bm25_topk_sql("spark join fast", 10),
         "segment_roundtrip": SQL_TF_POSTINGS,
+        "merge_segments_roundtrip": SQL_TF_POSTINGS,
         "batch_topk": _batch_topk_sql(5),
         "doc_id_rank": SQL_DOC_ID_RANK,
         "dedup_exact": SQL_DEDUP_EXACT,

@@ -44,9 +44,15 @@ def tokenized_doc_map(
     transcripts: DataFrame,
     num_partitions: int | None = None,
     persist: bool = True,
+    keep_text: bool = True,
 ) -> DataFrame:
-    """transcripts -> (doc_id, conv_id, turn_idx, role, tool, ts, dl,
-    terms:array<string>, tfs:array<int>) in one Python pass."""
+    """transcripts -> (doc_id, conv_id, turn_idx, role, tool, ts[, text],
+    dl, terms:array<string>, tfs:array<int>) in one Python pass.
+
+    ``keep_text`` keeps the raw text column: the doc map doubles as the
+    document store (the reference's wikitext.txt + index,
+    Indexer/Repository/Program.cs:140-143), and the BASELINE per-turn
+    text-equality invariant is asserted against it."""
     spark = transcripts.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
@@ -71,7 +77,9 @@ def tokenized_doc_map(
         acc += count_by_pid.get(pid, 0)
     b_offsets = spark.sparkContext.broadcast(offsets)
 
-    meta_fields = [f for f in transcripts.schema if f.name != "text"]
+    meta_fields = [
+        f for f in transcripts.schema if keep_text or f.name != "text"
+    ]
     out_schema = T.StructType(
         [T.StructField("doc_id", T.LongType(), False)]
         + meta_fields

@@ -79,27 +79,27 @@ def _append_manifest(out_dir: str, row: dict) -> None:
 
 
 def _partition_metrics(df: DataFrame, weight_col: str | None = None) -> dict:
-    """Rows (and optional weight sum) per physical partition -> skew factor
-    = max/mean. The reference has no skew visibility at all; its analog
-    pain is a striped lock (Indexer/Program.cs:651-657)."""
+    """Rows (and optional weight sum) per physical partition in ONE job ->
+    skew factor = max/mean. The reference has no skew visibility at all;
+    its analog pain is a striped lock (Indexer/Program.cs:651-657)."""
     agg = [F.count("*").alias("rows")]
     if weight_col is not None:
         agg.append(F.sum(weight_col).alias("weight"))
-    rows = (
-        df.select(F.spark_partition_id().alias("pid"),
-                  *([F.col(weight_col)] if weight_col else []))
-        .groupBy("pid")
-        .agg(*agg)
-        .collect()
-    )
+    sel = [F.spark_partition_id().alias("pid")]
+    if weight_col is not None:
+        sel.append(F.col(weight_col))
+    rows = df.select(*sel).groupBy("pid").agg(*agg).collect()
     counts = [int(r["rows"]) for r in rows] or [0]
     mx, mean = max(counts), sum(counts) / len(counts)
-    return {
+    out = {
         "n_partitions": len(counts),
         "rows": sum(counts),
         "max_partition_rows": mx,
         "skew_factor": round(mx / mean, 3) if mean else 1.0,
     }
+    if weight_col is not None:
+        out["postings"] = int(sum(int(r["weight"] or 0) for r in rows))
+    return out
 
 
 def _stage(out_dir: str, name: str, fn, force: bool = False) -> dict | None:
@@ -164,7 +164,7 @@ def run_build(
         }
         with open(os.path.join(out_dir, "scalars.json"), "w") as f:
             json.dump(sc, f)
-        return {"terms": spark.read.parquet(pq("term_stats")).count()}
+        return sc
 
     _stage(out_dir, "term_stats", stats, force)
     term_stats = spark.read.parquet(pq("term_stats"))
@@ -184,11 +184,7 @@ def run_build(
                 pq("doc_segments")
             )
             out = spark.read.parquet(pq("doc_segments"))
-            return _partition_metrics(out) | {
-                "postings": int(
-                    out.agg(F.sum("n")).collect()[0][0] or 0
-                ),
-            }
+            return _partition_metrics(out, weight_col="n")
 
         _stage(out_dir, "doc_segments", docseg, force)
         doc_segments = spark.read.parquet(pq("doc_segments"))

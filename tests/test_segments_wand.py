@@ -36,6 +36,17 @@ def _tf_set(df):
     return set(map(tuple, df.select("term", "doc_id", "tf", "dl").collect()))
 
 
+def test_per_turn_text_equality_fused(index, small):
+    """BASELINE.json invariant on the PRODUCTION ingest path: the fused doc
+    map (doc store) reproduces (conv_id, turn_idx, text) exactly under
+    stable turn ordering."""
+    src = small.select("conv_id", "turn_idx", "text").orderBy("conv_id", "turn_idx")
+    rebuilt = index.doc_map.select("conv_id", "turn_idx", "text").orderBy(
+        "conv_id", "turn_idx"
+    )
+    assert src.collect() == rebuilt.collect()
+
+
 def test_doc_segments_roundtrip(index):
     assert _tf_set(segments_to_tf(index.doc_segments)) == _tf_set(index.tf_table)
 
