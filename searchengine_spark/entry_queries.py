@@ -253,7 +253,64 @@ def _wand_topk(query: str, k: int = 10):
     return run
 
 
+_FIELD_WEIGHTS = {"en": 2.0, "de": 1.5}  # others default 1.0
+
+
+def q_fielded_topk(spark, sf_dir, query: str = "spark join fast", k: int = 10):
+    """Reference two-field boost semantics (Engine.cs:18,162 title x100)
+    generalized: per-field BM25 with per-field stats and boosts, one index."""
+    from searchengine_spark.operators.fielded import fielded_topk
+
+    out = fielded_topk(_docs(spark, sf_dir), "lang", _FIELD_WEIGHTS, query, k=k)
+    return out.select("doc_id", F.round("score", 6).alias("score")).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
+_FIELDED_SQL_WEIGHT = "CASE WHEN field='en' THEN 2.0 WHEN field='de' THEN 1.5 ELSE 1.0 END"
+
+
+def _fielded_topk_sql(query: str, k: int = 10) -> str:
+    return f"""WITH ftokd AS (SELECT doc_id, lang AS field, {_TOKS_TEXT} AS t FROM documents),
+ftoks AS (SELECT doc_id, field, unnest(t) AS term FROM ftokd),
+ftf AS (SELECT doc_id, field, term, count(*)::BIGINT AS tf FROM ftoks GROUP BY 1, 2, 3),
+ffdl AS (SELECT doc_id, field, coalesce(len(t), 0)::BIGINT AS fdl FROM ftokd),
+fstats AS (SELECT field, term, count(*)::BIGINT AS df FROM ftf GROUP BY 1, 2),
+fscal AS (SELECT field, count(*)::BIGINT AS n_fdocs, avg(fdl) AS avgfdl
+          FROM ffdl WHERE fdl > 0 GROUP BY 1),
+{_query_cte(query)},
+partial AS (
+  SELECT ftf.doc_id,
+         ({_FIELDED_SQL_WEIGHT}) * q.qf
+         * ln((sc.n_fdocs - st.df + 0.5) / (st.df + 0.5) + 1.0)
+         * (ftf.tf * 2.2) / (ftf.tf + 1.2 * (0.25 + 0.75 * fl.fdl / sc.avgfdl)) AS w
+  FROM ftf
+  JOIN q USING (term)
+  JOIN fstats st USING (field, term)
+  JOIN fscal sc USING (field)
+  JOIN ffdl fl ON fl.doc_id = ftf.doc_id AND fl.field = ftf.field
+)
+SELECT doc_id, round(sum(w), 6) AS score FROM partial GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
 _BATCH_QUERIES = ["spark join fast", "dup", "the the data", "window agg stream", "zzzabsent"]
+
+
+def q_batch_wand_topk(spark, sf_dir, k: int = 5):
+    """Batch block-max WAND: all queries in one segment scan, posting
+    lists decoded once per shard. Oracle = the exhaustive batch SQL."""
+    from searchengine_spark.operators.wand import wand_topk_batch
+
+    segs, _, stats, scalars = _doc_segments(spark, sf_dir)
+    out = wand_topk_batch(
+        segs, list(enumerate(_BATCH_QUERIES)), stats,
+        scalars.n_docs, scalars.avgdl, k=k,
+    )
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "doc_id",
+        F.round("score", 6).alias("score"),
+    )
 
 
 def q_batch_topk(spark, sf_dir, k: int = 5):
@@ -647,7 +704,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_topk": _wand_topk("spark join fast", 10),
         "segment_roundtrip": q_segment_roundtrip,
         "merge_segments_roundtrip": q_merge_roundtrip,
+        "fielded_topk": q_fielded_topk,
         "batch_topk": q_batch_topk,
+        "batch_wand_topk": q_batch_wand_topk,
         "doc_id_rank": q_doc_id_rank,
         # dedup
         "dedup_exact": q_dedup_exact,
@@ -684,7 +743,9 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "wand_topk": _bm25_topk_sql("spark join fast", 10),
         "segment_roundtrip": SQL_TF_POSTINGS,
         "merge_segments_roundtrip": SQL_TF_POSTINGS,
+        "fielded_topk": _fielded_topk_sql("spark join fast", 10),
         "batch_topk": _batch_topk_sql(5),
+        "batch_wand_topk": _batch_topk_sql(5),
         "doc_id_rank": SQL_DOC_ID_RANK,
         "dedup_exact": SQL_DEDUP_EXACT,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,

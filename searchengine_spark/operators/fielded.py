@@ -1,0 +1,97 @@
+"""Fielded (boosted multi-field) retrieval.
+
+The reference maintains TWO parallel index families — titles_* and repos_*
+— and scores hits additively with a 100x title boost
+(SearchEngine Engine/Engine/Engine.cs:18,99-122,146-173): the logical model
+is a document with fields {title, body} and per-field weights {100, 1}.
+
+Transcripts have no title; the analog is any categorical field column
+(role: a "user" turn can be boosted over "assistant"/"tool" turns, or the
+documents table's ``source``). Implementation is one index with a field
+tag per posting — not N parallel indexes — so the field dimension rides
+the existing shuffle for free:
+
+    score(d) = sum_t qf_t * sum_f weight_f * w(t, d, f)
+
+where w is BM25 computed on the per-(doc, field) term frequencies with
+per-(doc, field) lengths (each field is its own "document" for length
+normalization, the standard BM25F-simple treatment; the reference's title
+score is the degenerate weight * tf * qf with no normalization, kept as
+mode="reference").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from searchengine_spark.functions.scoring import bm25_weight, idf_col
+from searchengine_spark.functions.tokenize import term_counts_udf
+from searchengine_spark.operators.topk import query_terms_df
+
+
+def build_fielded_tf(docs: DataFrame, field_col: str,
+                     doc_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """docs -> (term, doc_id, field, tf, fdl): per-(doc, field) term
+    frequencies + field length. One Arrow pass + JVM explode."""
+    fwd = docs.select(
+        F.col(doc_col).alias("doc_id"),
+        F.col(field_col).alias("field"),
+        term_counts_udf(F.col(text_col)).alias("postings"),
+    ).withColumn("fdl", F.expr("aggregate(postings, 0, (a, p) -> a + p.tf)"))
+    return fwd.select(
+        "doc_id", "field", "fdl", F.explode("postings").alias("p")
+    ).select(F.col("p.term").alias("term"), "doc_id", "field",
+             F.col("p.tf").alias("tf"), "fdl")
+
+
+def fielded_topk(
+    docs: DataFrame,
+    field_col: str,
+    weights: dict[str, float],
+    query: str,
+    k: int = 10,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Boosted multi-field BM25 top-k -> (doc_id, score).
+
+    df/N/avgdl are computed per field (each field is its own corpus for
+    stats, mirroring the reference's two separately built indexes).
+    """
+    spark = docs.sparkSession
+    tf = build_fielded_tf(docs, field_col, doc_col, text_col)
+
+    stats = tf.groupBy("field", "term").agg(F.count("*").alias("df"))
+    scal = (
+        tf.groupBy("field", "doc_id").agg(F.first("fdl").alias("fdl"))
+        .groupBy("field")
+        .agg(F.count("*").alias("n_fdocs"), F.avg("fdl").alias("avgfdl"))
+    )
+
+    qt = query_terms_df(spark, query)
+    w_map = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )
+    joined = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(stats), ["field", "term"])
+        .join(F.broadcast(scal), "field")
+    )
+    idf = F.log(
+        (F.col("n_fdocs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5)) + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(1.2) * (
+        F.lit(1.0 - 0.75) + F.lit(0.75) * F.col("fdl") / F.col("avgfdl")
+    )
+    w = idf * (F.col("tf") * F.lit(2.2)) / denom
+    scored = joined.withColumn(
+        "partial",
+        F.coalesce(w_map[F.col("field")], F.lit(1.0)) * F.col("qf") * w,
+    )
+    return (
+        scored.groupBy("doc_id").agg(F.sum("partial").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -45,6 +45,7 @@ def tokenized_doc_map(
     num_partitions: int | None = None,
     persist: bool = True,
     keep_text: bool = True,
+    start_id: int = 0,
 ) -> DataFrame:
     """transcripts -> (doc_id, conv_id, turn_idx, role, tool, ts[, text],
     dl, terms:array<string>, tfs:array<int>) in one Python pass.
@@ -71,7 +72,7 @@ def tokenized_doc_map(
     )
     count_by_pid = {r["pid"]: r["count"] for r in counts}
     offsets: dict[int, int] = {}
-    acc = 0
+    acc = int(start_id)  # incremental batches continue the docID space
     for pid in range(num_partitions):
         offsets[pid] = acc
         acc += count_by_pid.get(pid, 0)

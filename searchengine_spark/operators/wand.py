@@ -31,7 +31,7 @@ from collections import Counter
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -50,20 +50,34 @@ _TOPK_SCHEMA = T.StructType(
 )
 
 
-class _Cursor:
-    """One decoded posting list + a moving position."""
+class _Postings:
+    """One decoded posting list (shared, position-free) — decoded ONCE per
+    shard even when many queries hit the same term (batch mode)."""
 
-    __slots__ = ("docs", "tfs", "dls", "bmax", "blast", "qf", "idf", "pos", "n", "ub")
+    __slots__ = ("term", "docs", "tfs", "dls", "bmax", "n")
 
-    def __init__(self, row, qf: float, idf: float):
+    def __init__(self, row):
+        self.term = row.term
         self.docs, self.tfs, self.dls = decode_payload(row)
         self.docs = self.docs.astype(np.int64)
         self.bmax = row.block_max_core
-        self.blast = row.block_last_doc
+        self.n = int(row.n)
+
+
+class _Cursor:
+    """A moving position over a shared _Postings, weighted by (qf, idf)."""
+
+    __slots__ = ("docs", "tfs", "dls", "bmax", "qf", "idf", "pos", "n", "ub")
+
+    def __init__(self, p: _Postings, qf: float, idf: float):
+        self.docs = p.docs
+        self.tfs = p.tfs
+        self.dls = p.dls
+        self.bmax = p.bmax
         self.qf = qf
         self.idf = idf
         self.pos = 0
-        self.n = int(row.n)
+        self.n = p.n
         # list-wide upper bound: qf * idf * max idf-free block core
         self.ub = qf * idf * (max(self.bmax) if len(self.bmax) else 0.0)
 
@@ -92,16 +106,20 @@ class _Cursor:
 
 
 def _wand_shard(
-    rows: list, qf_map: dict[str, float], idf_map: dict[str, float],
-    avgdl: float, k: int
+    postings: list[_Postings], qf_map: dict[str, float],
+    idf_map: dict[str, float], avgdl: float, k: int
 ) -> list[tuple[int, float]]:
-    """Run block-max WAND over one shard's decoded cursors -> local top-k.
+    """Run block-max WAND over one shard's posting lists -> local top-k.
 
     Heap entries are (score, -doc_id) so heap[0] is the weakest under the
     pinned tie-break (score desc, doc_id asc): equal scores keep the
     smaller doc_id, because (s, -d_small) > (s, -d_big).
     """
-    cursors = [_Cursor(r, qf_map[r.term], idf_map[r.term]) for r in rows]
+    cursors = [
+        _Cursor(p, qf_map[p.term], idf_map[p.term])
+        for p in postings
+        if p.term in qf_map
+    ]
     cursors = [c for c in cursors if c.n > 0]
     if not cursors:
         return []
@@ -191,8 +209,8 @@ def wand_topk(
         return spark.createDataFrame([], _TOPK_SCHEMA)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = list(pdf.itertuples(index=False))
-        top = _wand_shard(rows, qf_map, idf_map, avgdl, k)
+        postings = [_Postings(r) for r in pdf.itertuples(index=False)]
+        top = _wand_shard(postings, qf_map, idf_map, avgdl, k)
         if not top:
             return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                  "score": pd.Series([], dtype="float64")})
@@ -202,3 +220,64 @@ def wand_topk(
 
     local = matched.groupBy("shard").applyInPandas(run, _TOPK_SCHEMA)
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+_BATCH_TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.IntegerType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)
+
+
+def wand_topk_batch(
+    doc_segments: DataFrame,
+    queries: list[tuple[int, str]],
+    term_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+) -> DataFrame:
+    """Many queries in one pass: per shard, posting lists are decoded ONCE
+    and every query runs block-max WAND over the shared decoded lists ->
+    (query_id, rank, doc_id, score). One segment scan + one shuffle-free
+    grouped map for the whole query batch — the throughput path (the
+    reference serves one query per HTTP request; Engine.cs:45-95)."""
+    qf_maps = {int(qid): query_qf(q) for qid, q in queries}
+    all_terms = sorted({t for m in qf_maps.values() for t in m})
+    if not all_terms:
+        return doc_segments.sparkSession.createDataFrame([], _BATCH_TOPK_SCHEMA)
+
+    df_rows = (
+        term_stats.filter(F.col("term").isin(all_terms))
+        .select("term", "df")
+        .collect()
+    )
+    idf_map = {r["term"]: idf_np(int(r["df"]), n_docs) for r in df_rows}
+    matched = doc_segments.filter(F.col("term").isin(list(idf_map)))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        postings = [_Postings(r) for r in pdf.itertuples(index=False)]
+        qids, docs, scores = [], [], []
+        for qid, qf_map in qf_maps.items():
+            qf_known = {t: v for t, v in qf_map.items() if t in idf_map}
+            if not qf_known:
+                continue
+            for d, s in _wand_shard(postings, qf_known, idf_map, avgdl, k):
+                qids.append(qid)
+                docs.append(d)
+                scores.append(s)
+        return pd.DataFrame(
+            {"query_id": pd.Series(qids, dtype="int32"),
+             "doc_id": pd.Series(docs, dtype="int64"),
+             "score": pd.Series(scores, dtype="float64")}
+        )
+
+    local = matched.groupBy("shard").applyInPandas(run, _BATCH_TOPK_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

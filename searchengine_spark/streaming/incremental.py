@@ -1,0 +1,152 @@
+"""Incremental (streaming) index maintenance via Structured Streaming.
+
+The reference has NO streaming or incremental path: its Zds.Flow queues are
+intra-process pipelining, and adding documents means a full 3-hour rebuild
+(SearchEngine SURVEY.md §2.10, Indexer/Program.cs:42-65). This module is
+the Spark-native upgrade: new transcript batches arrive as files, each
+micro-batch becomes a **generation** (its own doc_map + salted term-segment
+table, docIDs continuing the global space), and generations are compacted
+by the associative sort-merge (operators/merge.py) — the classic
+LSM/Lucene segment model expressed as Structured Streaming + foreachBatch.
+
+    readStream.parquet(input_dir)
+      --foreachBatch--> gen_{k}/doc_map.parquet + gen_{k}/segments.parquet
+                        + state.json (n_docs, sum_dl, generations)
+    compact(index_dir) -> merged/segments.parquet  (sort-merge all gens)
+
+Queries can run against merged ∪ uncompacted generations; correctness of
+compaction (merged == fresh build over the full corpus) is asserted by
+tests and the merge_segments_roundtrip driver oracle.
+
+Batch ordering note: docIDs are assigned in arrival (micro-batch) order,
+batch-internally by stable (conv_id, turn_idx) rank — the standard
+incremental-index discipline (arrival order IS the document order).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from searchengine_spark.operators.forward import build_term_stats
+from searchengine_spark.operators.ingest import tf_from_doc_map, tokenized_doc_map
+from searchengine_spark.operators.merge import merge_term_segments
+from searchengine_spark.operators.segments import build_term_segments
+
+STATE = "state.json"
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def _state_path(index_dir: str) -> str:
+    return os.path.join(index_dir, STATE)
+
+
+def read_state(index_dir: str) -> dict:
+    p = _state_path(index_dir)
+    if not os.path.exists(p):
+        return {"n_docs": 0, "sum_dl": 0, "generations": []}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_state(index_dir: str, state: dict) -> None:
+    with open(_state_path(index_dir), "w") as f:
+        json.dump(state, f)
+
+
+def process_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    df_target: int = 100_000,
+) -> None:
+    """One micro-batch -> one generation. Idempotent per batch_id (exactly
+    -once under Structured Streaming's checkpointed foreachBatch: a
+    replayed batch_id finds its generation recorded and skips)."""
+    spark = batch_df.sparkSession
+    state = read_state(index_dir)
+    gen_name = f"gen_{batch_id:06d}"
+    if any(g["name"] == gen_name for g in state["generations"]):
+        return  # replay after failure: already committed
+    if batch_df.isEmpty():
+        return
+
+    os.makedirs(os.path.join(index_dir, gen_name), exist_ok=True)
+    dm = tokenized_doc_map(batch_df, start_id=state["n_docs"])
+    dm_path = os.path.join(index_dir, gen_name, "doc_map.parquet")
+    dm.write.mode("overwrite").parquet(dm_path)
+    dm = spark.read.parquet(dm_path)
+
+    from pyspark.sql import functions as F
+
+    row = dm.agg(F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("s")
+                 ).collect()[0]
+    n_batch, sum_dl_batch = int(row["n"]), int(row["s"])
+
+    tf = tf_from_doc_map(dm)
+    stats = build_term_stats(tf)
+    # per-generation avgdl for block metadata; compaction re-encodes with
+    # the merged avgdl, so generation-local avgdl is only a local bound
+    avgdl_gen = (sum_dl_batch / n_batch) if n_batch else 1.0
+    segs = build_term_segments(tf, stats, n_batch, avgdl_gen, df_target=df_target)
+    segs.write.mode("overwrite").parquet(
+        os.path.join(index_dir, gen_name, "segments.parquet")
+    )
+
+    state["generations"].append(
+        {"name": gen_name, "n_docs": n_batch, "doc_offset": 0,
+         "sum_dl": sum_dl_batch, "start_id": state["n_docs"]}
+    )
+    state["n_docs"] += n_batch
+    state["sum_dl"] += sum_dl_batch
+    _write_state(index_dir, state)
+
+
+def start_incremental(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    df_target: int = 100_000,
+):
+    """Start the incremental indexer over a directory of transcript parquet
+    files. available_now=True drains existing files and stops (batch-style
+    test mode); False runs continuously."""
+    os.makedirs(index_dir, exist_ok=True)
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    writer = stream.writeStream.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.foreachBatch(
+        lambda df, bid: process_batch(df, bid, index_dir, df_target)
+    ).start()
+
+
+def compact(spark: SparkSession, index_dir: str,
+            df_target: int = 100_000) -> DataFrame:
+    """Sort-merge every generation into merged/segments.parquet; returns
+    the merged segment DataFrame. docIDs were assigned globally at ingest
+    (start_id), so per-part doc_offset is 0."""
+    state = read_state(index_dir)
+    if not state["generations"]:
+        raise ValueError("nothing to compact")
+    parts = [
+        (spark.read.parquet(os.path.join(index_dir, g["name"], "segments.parquet")), 0)
+        for g in state["generations"]
+    ]
+    avgdl = state["sum_dl"] / state["n_docs"] if state["n_docs"] else 1.0
+    merged = merge_term_segments(parts, avgdl_merged=avgdl, df_target=df_target)
+    out = os.path.join(index_dir, "merged", "segments.parquet")
+    merged.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)

@@ -162,6 +162,25 @@ def test_wand_random_queries_adversarial(index):
             assert a.score == pytest.approx(b.score, rel=1e-9)
 
 
+def test_batch_wand_matches_exhaustive_batch(spark, index):
+    from searchengine_spark.operators.topk import batch_topk
+    from searchengine_spark.operators.wand import wand_topk_batch
+
+    w = vocab()
+    qs = [(0, w[0]), (1, f"{w[1]} {w[1]}"), (2, f"{w[0]} {w[4999]}"),
+          (3, "zzznope"), (4, f"{w[2]} {w[7]} {w[30]}")]
+    got = wand_topk_batch(index.doc_segments, qs, index.term_stats,
+                          index.scalars.n_docs, index.scalars.avgdl, k=5).collect()
+    qdf = spark.createDataFrame(qs, "query_id int, query string")
+    want = batch_topk(qdf, index.tf_table, index.term_stats,
+                      index.scalars, k=5).collect()
+    g = sorted((r.query_id, r.rank, r.doc_id, r.score) for r in got)
+    e = sorted((r.query_id, r.rank, r.doc_id, r.score) for r in want)
+    assert [x[:3] for x in g] == [x[:3] for x in e]
+    for a, b in zip(g, e):
+        assert a[3] == pytest.approx(b[3], rel=1e-9)
+
+
 def test_compression_ratio(index):
     """Delta+varint must beat the reference's raw 8 B/posting layout."""
     rows = index.doc_segments.select("n", "doc_gaps", "tfs").collect()
