@@ -89,11 +89,20 @@ def build_transcripts_index(spark, n_convs: int) -> dict:
     out_dir = tempfile.mkdtemp(prefix="sgbench_idx_", dir=BENCH_TMP)
     try:
         t0 = time.perf_counter()
-        run_build(spark, df, out_dir, layouts=("doc",))
+        idx = run_build(spark, df, out_dir, layouts=("doc",))
         build_s = time.perf_counter() - t0
         seg_rows = [m for m in read_manifest(out_dir)
                     if m["stage"] == "doc_segments" and m["status"] == "COMMITTED"]
         n_segs = seg_rows[-1]["rows"] if seg_rows else 0
+        # Order-independent content hash of the segment table: identical
+        # values at every parallelism = the determinism contract, recorded
+        # per-round alongside the throughputs (outside the timed window).
+        from pyspark.sql import functions as F
+
+        idx_hash = idx.doc_segments.agg(
+            F.expr("bit_xor(xxhash64(shard, term, n, doc_gaps, tfs, dls, "
+                   "block_last_doc, block_max_core))")
+        ).collect()[0][0]
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
     df.unpersist()
@@ -102,6 +111,7 @@ def build_transcripts_index(spark, n_convs: int) -> dict:
         "segments": n_segs,
         "build_sec": round(build_s, 3),
         "turns_per_sec": round(n_turns / build_s, 1),
+        "index_hash": int(idx_hash or 0),
     }
 
 
@@ -239,8 +249,11 @@ def main() -> None:
         lo = max(runs[n_lo], key=lambda r: r["turns_per_sec"])
         hi = max(runs[n_hi], key=lambda r: r["turns_per_sec"])
         eff = hi["turns_per_sec"] / ((n_hi / n_lo) * lo["turns_per_sec"])
+        hashes = {r["index_hash"] for rs in runs.values() for r in rs}
         build = {
             "turns": hi["turns"],
+            "index_identical_across_widths": len(hashes) == 1,
+            "index_hash": sorted(hashes),
             f"turns_per_sec_local{n_lo}": lo["turns_per_sec"],
             f"turns_per_sec_local{n_hi}": hi["turns_per_sec"],
             f"build_sec_local{n_lo}": lo["build_sec"],

@@ -45,3 +45,27 @@ def minhash_params(n_perm: int, seed: int = 42) -> tuple[list[int], list[int]]:
 
 def minhash_perm_py(h: int, a: int, b: int) -> int:
     return (a * h + b) % MERSENNE_P
+
+
+# ---------------------------------------------------------------------------
+# CRC-32 (reference oracle-compat keying)
+# ---------------------------------------------------------------------------
+
+def crc32_reference_py(data: bytes) -> int:
+    """Table-driven IEEE CRC-32 exactly as the reference computes doc/term
+    keys (SearchEngine DataStructures/DataStructs/CRC32.cs:13,29-43:
+    reflected polynomial 0xEDB88320, init 0xFFFFFFFF, final complement).
+    Re-derived here from the public standard algorithm; used only to PROVE
+    that Spark's built-in ``F.crc32`` is bit-identical, so oracle-compat
+    mode can key on ``F.crc32(term)`` without any custom UDF."""
+    crc = 0xFFFFFFFF
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = (crc >> 1) ^ (0xEDB88320 * (crc & 1))
+    return crc ^ 0xFFFFFFFF
+
+
+def crc32_col(col: Column) -> Column:
+    """Reference-compatible key column: CRC32 of the UTF-8 term/title."""
+    return F.crc32(F.encode(col, "UTF-8"))

@@ -53,3 +53,22 @@ def test_compression_wins():
     tfs = np.ones(docs.size, dtype=np.uint64)
     gaps_b, tfs_b = encode_postings(docs, tfs)
     assert (len(gaps_b) + len(tfs_b)) / docs.size < 2.5
+
+
+def test_crc32_reference_compat(spark):
+    """SURVEY §2.3 F4: Spark's F.crc32 is bit-identical to the reference's
+    table-driven IEEE CRC-32 (and zlib's), so oracle-compat keying needs
+    no UDF."""
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.functions.hashing import crc32_col, crc32_reference_py
+
+    words = ["hello", "don", "t", "a", "pneumono", "zzz", "Mixed", ""]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {r["w"]: r["c"] for r in df.select("w", crc32_col(F.col("w")).alias("c")).collect()}
+    for w in words:
+        ref = crc32_reference_py(w.encode("utf-8"))
+        assert got[w] == ref == zlib.crc32(w.encode("utf-8"))
+    assert got["hello"] == 907060870  # SURVEY §1.2 verified constant
