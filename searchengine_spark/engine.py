@@ -1,0 +1,101 @@
+"""Query engine over a persisted index — the reference Engine's lifecycle
+(load once, serve many) as a thin Spark-native API.
+
+Reference: ``LoadEngine`` mmaps six directory/stat files into RAM, then an
+HTTP loop serves ``Search(query)`` per request
+(SearchEngine Engine/Engine/Engine.cs:32-124). Here:
+
+    eng = SearchEngine.load(spark, index_dir)     # from pipeline.run_build
+    eng.search("some words", k=10)                # block-max WAND
+    eng.search("some words", k=10, mode="exhaustive")
+    eng.search_batch([(0, "a b"), (1, "c")], k=10)
+    eng.fetch(doc_ids)                            # doc-store lookup
+
+Load-time warm state = corpus scalars (a JSON read) + the cached
+term_stats table (small: one row per term); posting segments stay on
+storage and are read partition-pruned per query — the RAM-residency model
+of the reference doesn't survive 10^12 turns, partition pruning does.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators.forward import CorpusScalars
+from searchengine_spark.operators.ingest import tf_from_doc_map
+from searchengine_spark.operators.topk import score_topk
+from searchengine_spark.operators.wand import wand_topk, wand_topk_batch
+
+
+@dataclass
+class SearchEngine:
+    spark: SparkSession
+    index_dir: str
+    doc_map: DataFrame
+    term_stats: DataFrame
+    scalars: CorpusScalars
+    doc_segments: DataFrame | None
+
+    @staticmethod
+    def load(spark: SparkSession, index_dir: str,
+             cache_stats: bool = True) -> "SearchEngine":
+        with open(os.path.join(index_dir, "scalars.json")) as f:
+            s = json.load(f)
+        stats = spark.read.parquet(os.path.join(index_dir, "term_stats.parquet"))
+        if cache_stats:
+            stats = stats.cache()
+        seg_path = os.path.join(index_dir, "doc_segments.parquet")
+        segs = spark.read.parquet(seg_path) if os.path.exists(seg_path) else None
+        return SearchEngine(
+            spark=spark,
+            index_dir=index_dir,
+            doc_map=spark.read.parquet(os.path.join(index_dir, "doc_map.parquet")),
+            term_stats=stats,
+            scalars=CorpusScalars(
+                n_docs=s["n_docs"], avgdl=s["avgdl"], sum_dl=s["sum_dl"]
+            ),
+            doc_segments=segs,
+        )
+
+    def search(self, query: str, k: int = 10, mode: str = "wand") -> DataFrame:
+        """Top-k (doc_id, score). mode: "wand" (block-max pruned, default),
+        "exhaustive" (relational verification path), "reference" (the
+        reference formula incl. its 1000-posting cap)."""
+        if mode == "wand":
+            if self.doc_segments is None:
+                raise ValueError("index has no doc-segment layout")
+            return wand_topk(self.doc_segments, query, self.term_stats,
+                             self.scalars.n_docs, self.scalars.avgdl, k=k)
+        tf = tf_from_doc_map(self.doc_map)
+        score_mode = "bm25" if mode == "exhaustive" else mode
+        return score_topk(tf, self.term_stats, self.scalars, query, k=k,
+                          mode=score_mode)
+
+    def search_batch(self, queries: list[tuple[int, str]], k: int = 10) -> DataFrame:
+        """(query_id, rank, doc_id, score) for many queries in one pass."""
+        if self.doc_segments is None:
+            raise ValueError("index has no doc-segment layout")
+        return wand_topk_batch(self.doc_segments, queries, self.term_stats,
+                               self.scalars.n_docs, self.scalars.avgdl, k=k)
+
+    def fetch(self, doc_ids: list[int]) -> DataFrame:
+        """Doc-store lookup (the reference's GetTitle/wikitext seek,
+        Engine.cs:201-207) — parquet min/max pruned point reads."""
+        return self.doc_map.filter(F.col("doc_id").isin([int(d) for d in doc_ids]))
+
+    def search_with_docs(self, query: str, k: int = 10) -> DataFrame:
+        """Ranked results joined back to turn metadata + text (broadcast of
+        the k-row side; the reference's result rendering path)."""
+        topk = self.search(query, k=k)
+        cols = [c for c in ("doc_id", "conv_id", "turn_idx", "role", "ts", "text")
+                if c in self.doc_map.columns]
+        return (
+            self.doc_map.select(*cols)
+            .join(F.broadcast(topk), "doc_id")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
