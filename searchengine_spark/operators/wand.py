@@ -107,7 +107,8 @@ class _Cursor:
 
 def _wand_shard(
     postings: list[_Postings], qf_map: dict[str, float],
-    idf_map: dict[str, float], avgdl: float, k: int
+    idf_map: dict[str, float], avgdl: float, k: int,
+    stats: dict | None = None,
 ) -> list[tuple[int, float]]:
     """Run block-max WAND over one shard's posting lists -> local top-k.
 
@@ -121,6 +122,10 @@ def _wand_shard(
         if p.term in qf_map
     ]
     cursors = [c for c in cursors if c.n > 0]
+    if stats is not None:
+        stats["candidates"] = sum(c.n for c in cursors)
+        stats.setdefault("scored", 0)
+        stats.setdefault("block_skipped", 0)
     if not cursors:
         return []
 
@@ -156,12 +161,17 @@ def _wand_shard(
             on_pivot = [c for c in live if int(c.docs[c.pos]) == pivot_doc]
             block_acc = sum(c.block_ub() for c in on_pivot)
             if block_acc >= theta - _EPS:
+                if stats is not None:
+                    stats["scored"] += 1
                 score = sum(c.score_at(avgdl) for c in on_pivot)
                 entry = (score, -pivot_doc)
                 if len(heap) < k:
                     heapq.heappush(heap, entry)
                 elif entry > heap[0]:
                     heapq.heapreplace(heap, entry)
+            else:
+                if stats is not None:
+                    stats["block_skipped"] += 1
             for c in on_pivot:
                 c.pos += 1
         else:

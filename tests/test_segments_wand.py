@@ -187,3 +187,43 @@ def test_compression_ratio(index):
     n = sum(r["n"] for r in rows)
     enc = sum(len(r["doc_gaps"]) + len(r["tfs"]) for r in rows)
     assert enc / n < 8.0, f"{enc / n:.2f} B/posting (docs+tfs) vs 8 B raw"
+
+
+def test_wand_pruning_skips_work():
+    """Block-max WAND must fully score far fewer docs than the candidate
+    posting count on a selective query (the pruning claim of SURVEY §2.8 /
+    M4), while remaining exact (verified by the agreement tests above)."""
+    import pandas as pd
+
+    from searchengine_spark.operators.segments import _encode_group_frame
+    from searchengine_spark.operators.wand import _Postings, _wand_shard
+
+    rng = np.random.default_rng(0)
+    n_docs = 60_000
+    avgdl = 30.0
+    rows = {}
+    # hot term: every doc, mostly tf=1 with a few high-tf spikes
+    tf_hot = np.ones(n_docs, np.int64)
+    tf_hot[rng.integers(0, n_docs, 200)] = rng.integers(5, 30, 200)
+    # selective term: 500 docs, varied tf
+    sel_docs = np.sort(rng.choice(n_docs, 500, replace=False)).astype(np.int64)
+    tf_sel = rng.integers(1, 20, 500).astype(np.int64)
+    pdf = pd.DataFrame(
+        {
+            "term": ["hot", "sel"],
+            "doc_arr": [np.arange(n_docs, dtype=np.int64), sel_docs],
+            "tf_arr": [tf_hot, tf_sel],
+            "dl_arr": [np.full(n_docs, 30, np.int64), np.full(500, 30, np.int64)],
+        }
+    )
+    encoded = _encode_group_frame(pdf, ["term"], avgdl)
+    postings = [_Postings(r) for r in encoded.itertuples(index=False)]
+    # idf: hot ~ stopword (low), sel ~ rare (high)
+    idf = {"hot": 0.05, "sel": 5.0}
+    stats: dict = {}
+    top = _wand_shard(postings, {"hot": 1.0, "sel": 1.0}, idf, avgdl, 10,
+                      stats=stats)
+    assert len(top) == 10
+    assert stats["candidates"] == n_docs + 500
+    # pruning: the hot list is never exhaustively scored
+    assert stats["scored"] < stats["candidates"] * 0.05, stats
