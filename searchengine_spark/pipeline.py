@@ -40,6 +40,7 @@ from searchengine_spark.operators.segments import (
     build_doc_segments,
     build_term_segments,
 )
+from searchengine_spark.storage import Storage
 
 MANIFEST = "manifest.jsonl"
 
@@ -102,11 +103,12 @@ def _partition_metrics(df: DataFrame, weight_col: str | None = None) -> dict:
     return out
 
 
-def _stage(out_dir: str, name: str, fn, force: bool = False) -> dict | None:
+def _stage(out_dir: str, name: str, fn, force: bool = False,
+           storage: Storage | None = None) -> dict | None:
     """Run one stage with manifest bookkeeping; skip if already COMMITTED."""
-    if not force and name in committed_stages(out_dir) and os.path.exists(
-        os.path.join(out_dir, f"{name}.parquet")
-    ):
+    exists = (storage.exists(name) if storage is not None
+              else os.path.exists(os.path.join(out_dir, f"{name}.parquet")))
+    if not force and name in committed_stages(out_dir) and exists:
         return None
     t0 = time.perf_counter()
     _append_manifest(out_dir, {"stage": name, "status": "STARTED", "ts": time.time()})
@@ -134,25 +136,28 @@ def run_build(
     df_target: int = DEFAULT_DF_TARGET,
     layouts: tuple[str, ...] = ("doc",),
     force: bool = False,
+    storage: Storage | None = None,
 ) -> BuiltIndex:
-    """Build (or resume) the full index under ``out_dir``."""
+    """Build (or resume) the full index under ``out_dir``. ``storage``
+    overrides the table backend (e.g. an Iceberg catalog); the manifest and
+    scalars stay under ``out_dir`` either way (an Iceberg manifest table on
+    clusters would replace the JSONL — same rows)."""
     os.makedirs(out_dir, exist_ok=True)
-    pq = lambda name: os.path.join(out_dir, f"{name}.parquet")  # noqa: E731
+    if storage is None:
+        storage = Storage(spark, root=out_dir)
 
     def ingest():
         dm = tokenized_doc_map(transcripts, num_partitions=num_doc_partitions)
-        dm.write.mode("overwrite").parquet(pq("doc_map"))
-        out = spark.read.parquet(pq("doc_map"))
-        m = _partition_metrics(out)
-        return m
+        storage.write(dm, "doc_map")
+        return _partition_metrics(storage.read("doc_map"))
 
-    _stage(out_dir, "doc_map", ingest, force)
-    doc_map = spark.read.parquet(pq("doc_map"))
+    _stage(out_dir, "doc_map", ingest, force, storage)
+    doc_map = storage.read("doc_map")
 
     def stats():
         tf = tf_from_doc_map(doc_map)
         st = build_term_stats(tf)
-        st.write.mode("overwrite").parquet(pq("term_stats"))
+        storage.write(st, "term_stats")
         row = doc_map.agg(
             F.count("*").alias("n"),
             F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),
@@ -166,8 +171,8 @@ def run_build(
             json.dump(sc, f)
         return sc
 
-    _stage(out_dir, "term_stats", stats, force)
-    term_stats = spark.read.parquet(pq("term_stats"))
+    _stage(out_dir, "term_stats", stats, force, storage)
+    term_stats = storage.read("term_stats")
     with open(os.path.join(out_dir, "scalars.json")) as f:
         s = json.load(f)
     scalars = CorpusScalars(n_docs=s["n_docs"], avgdl=s["avgdl"], sum_dl=s["sum_dl"])
@@ -180,14 +185,12 @@ def run_build(
                 tf_table, term_stats, scalars.n_docs, scalars.avgdl,
                 n_shards=n_shards,
             )
-            segs.write.mode("overwrite").partitionBy("shard").parquet(
-                pq("doc_segments")
-            )
-            out = spark.read.parquet(pq("doc_segments"))
-            return _partition_metrics(out, weight_col="n")
+            storage.write(segs, "doc_segments", partition_by="shard")
+            return _partition_metrics(storage.read("doc_segments"),
+                                      weight_col="n")
 
-        _stage(out_dir, "doc_segments", docseg, force)
-        doc_segments = spark.read.parquet(pq("doc_segments"))
+        _stage(out_dir, "doc_segments", docseg, force, storage)
+        doc_segments = storage.read("doc_segments")
 
     if "term" in layouts:
         def termseg():
@@ -195,12 +198,11 @@ def run_build(
                 tf_table, term_stats, scalars.n_docs, scalars.avgdl,
                 df_target=df_target,
             )
-            segs.write.mode("overwrite").parquet(pq("term_segments"))
-            out = spark.read.parquet(pq("term_segments"))
-            return _partition_metrics(out)
+            storage.write(segs, "term_segments")
+            return _partition_metrics(storage.read("term_segments"))
 
-        _stage(out_dir, "term_segments", termseg, force)
-        term_segments = spark.read.parquet(pq("term_segments"))
+        _stage(out_dir, "term_segments", termseg, force, storage)
+        term_segments = storage.read("term_segments")
 
     return BuiltIndex(
         out_dir=out_dir,

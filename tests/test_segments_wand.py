@@ -227,3 +227,25 @@ def test_wand_pruning_skips_work():
     assert stats["candidates"] == n_docs + 500
     # pruning: the hot list is never exhaustively scored
     assert stats["scored"] < stats["candidates"] * 0.05, stats
+
+
+def test_reference_query_set_batch_agreement(spark, index):
+    """FIXTURES.md §2 reference query set (100 queries: hot / rare /
+    absent / duplicate-term / mixed) — batch WAND vs exhaustive batch,
+    rank-identical across the whole set in one pass each."""
+    from searchengine_spark.operators.topk import batch_topk
+    from searchengine_spark.operators.wand import wand_topk_batch
+    from searchengine_spark.sources.synth import queries_pdf
+
+    qpdf = queries_pdf(100)
+    qs = [(int(i), q) for i, q in zip(qpdf["query_id"], qpdf["query"])]
+    got = wand_topk_batch(index.doc_segments, qs, index.term_stats,
+                          index.scalars.n_docs, index.scalars.avgdl, k=5).collect()
+    qdf = spark.createDataFrame(qs, "query_id int, query string")
+    want = batch_topk(qdf, index.tf_table, index.term_stats,
+                      index.scalars, k=5).collect()
+    g = sorted((r.query_id, r.rank, r.doc_id, r.score) for r in got)
+    e = sorted((r.query_id, r.rank, r.doc_id, r.score) for r in want)
+    assert [x[:3] for x in g] == [x[:3] for x in e]
+    for a, b in zip(g, e):
+        assert a[3] == pytest.approx(b[3], rel=1e-9)

@@ -1,10 +1,12 @@
 """Local replica of the driver's correctness gate: run every queries() entry
-on Spark and its oracle_sql() on DuckDB at sf0.01; compare row count, column
-names, and order-insensitive values. Usage: python tools/check_entry.py [names...]
+on Spark and its oracle_sql() on DuckDB (default sf0.01; override with
+SPARK_GRAFT_SF_DIR); compare row count, column names, and
+order-insensitive values. Usage: python tools/check_entry.py [names...]
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -13,7 +15,7 @@ import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
@@ -36,7 +38,11 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
     qs = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
+    # oracle_sql() is pinned to the driver's sf0.01 per contract; for
+    # cross-sf sweeps regenerate the data-dependent oracles for SF_DIR
+    from searchengine_spark.entry_queries import all_oracle_sql
+
+    oracles = all_oracle_sql(SF_DIR)
     only = set(sys.argv[1:])
     failures = []
     for name, fn in qs.items():
