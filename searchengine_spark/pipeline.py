@@ -137,6 +137,7 @@ def run_build(
     layouts: tuple[str, ...] = ("doc",),
     force: bool = False,
     storage: Storage | None = None,
+    segment_groups: int = 1,
 ) -> BuiltIndex:
     """Build (or resume) the full index under ``out_dir``. ``storage``
     overrides the table backend (e.g. an Iceberg catalog); the manifest and
@@ -180,17 +181,67 @@ def run_build(
 
     doc_segments = term_segments = None
     if "doc" in layouts:
-        def docseg():
-            segs = build_doc_segments(
-                tf_table, term_stats, scalars.n_docs, scalars.avgdl,
-                n_shards=n_shards,
-            )
-            storage.write(segs, "doc_segments", partition_by="shard")
-            return _partition_metrics(storage.read("doc_segments"),
-                                      weight_col="n")
+        if segment_groups <= 1:
+            def docseg():
+                segs = build_doc_segments(
+                    tf_table, term_stats, scalars.n_docs, scalars.avgdl,
+                    n_shards=n_shards,
+                )
+                storage.write(segs, "doc_segments", partition_by="shard")
+                return _partition_metrics(storage.read("doc_segments"),
+                                          weight_col="n")
 
-        _stage(out_dir, "doc_segments", docseg, force, storage)
-        doc_segments = storage.read("doc_segments")
+            _stage(out_dir, "doc_segments", docseg, force, storage)
+        else:
+            # Per-segment-group checkpoints (north star: resumable from
+            # per-SEGMENT checkpoints, not just per stage): shards are
+            # processed in `segment_groups` batches, each committed to its
+            # own partition directory + manifest row; a killed build
+            # resumes at the first uncommitted group. Group membership is
+            # shard % G, so membership is independent of parallelism.
+            import math as _math
+
+            from searchengine_spark.operators.segments import DOCS_PER_SHARD
+
+            ns = n_shards or max(1, _math.ceil(max(scalars.n_docs, 1)
+                                               / DOCS_PER_SHARD))
+            shard_size = max(1, _math.ceil(max(scalars.n_docs, 1) / ns))
+            base = os.path.join(out_dir, "doc_segments.parquet")
+            for g in range(segment_groups):
+                gname = f"doc_segments:g{g}"
+                gpath = os.path.join(base, f"g={g}")
+                if not force and gname in committed_stages(out_dir) \
+                        and os.path.exists(gpath):
+                    continue
+                t0 = time.perf_counter()
+                _append_manifest(out_dir, {"stage": gname, "status": "STARTED",
+                                           "ts": time.time()})
+                tf_g = tf_table.filter(
+                    (F.col("doc_id") / F.lit(shard_size)).cast("int")
+                    % segment_groups == g
+                )
+                segs = build_doc_segments(
+                    tf_g, term_stats, scalars.n_docs, scalars.avgdl,
+                    n_shards=ns,
+                )
+                segs.write.mode("overwrite").partitionBy("shard").parquet(gpath)
+                m = _partition_metrics(spark.read.parquet(gpath), weight_col="n")
+                _append_manifest(out_dir, {
+                    "stage": gname, "status": "COMMITTED",
+                    "wall_s": round(time.perf_counter() - t0, 3),
+                    "ts": time.time(), **m,
+                })
+            if "doc_segments" not in committed_stages(out_dir) or force:
+                _append_manifest(out_dir, {
+                    "stage": "doc_segments", "status": "COMMITTED",
+                    "ts": time.time(), "groups": segment_groups,
+                })
+        doc_segments = spark.read.option("basePath",
+                                         os.path.join(out_dir,
+                                                      "doc_segments.parquet")
+                                         ).parquet(
+            os.path.join(out_dir, "doc_segments.parquet")
+        ).drop("g") if segment_groups > 1 else storage.read("doc_segments")
 
     if "term" in layouts:
         def termseg():

@@ -146,3 +146,39 @@ def test_index_identical_across_partitioning(spark, small):
         conf.set("spark.sql.shuffle.partitions", old)
     assert st1 == st2
     assert s1 == s2
+
+
+def test_per_segment_group_resume(spark, small, tmp_path_factory):
+    """North star: resume from PER-SEGMENT checkpoints. Build with 4 shard
+    groups; wipe the last two groups' outputs + manifest rows (simulated
+    mid-stage crash); re-run rebuilds ONLY those groups, and the final
+    index equals a single-shot build."""
+    out = str(tmp_path_factory.mktemp("gidx"))
+    idx = run_build(spark, small, out, num_doc_partitions=3, n_shards=4,
+                    layouts=("doc",), segment_groups=4)
+    full = _tf_set(segments_to_tf(idx.doc_segments))
+    committed = [m["stage"] for m in read_manifest(out)
+                 if m["status"] == "COMMITTED"]
+    assert {f"doc_segments:g{g}" for g in range(4)} <= set(committed)
+
+    # crash simulation: drop groups 2,3
+    keep = [m for m in read_manifest(out)
+            if m["stage"] not in {"doc_segments:g2", "doc_segments:g3",
+                                  "doc_segments"}]
+    with open(f"{out}/manifest.jsonl", "w") as f:
+        for m in keep:
+            f.write(json.dumps(m) + "\n")
+    shutil.rmtree(f"{out}/doc_segments.parquet/g=2")
+    shutil.rmtree(f"{out}/doc_segments.parquet/g=3")
+    g0 = glob.glob(f"{out}/doc_segments.parquet/g=0/*/*.parquet")[0]
+    g0_mtime = os.path.getmtime(g0)
+
+    idx2 = run_build(spark, small, out, num_doc_partitions=3, n_shards=4,
+                     layouts=("doc",), segment_groups=4)
+    assert os.path.getmtime(g0) == g0_mtime  # group 0 untouched
+    assert _tf_set(segments_to_tf(idx2.doc_segments)) == full
+
+    # and equals a plain single-shot build
+    single = run_build(spark, small, str(tmp_path_factory.mktemp("sidx")),
+                       num_doc_partitions=3, n_shards=4, layouts=("doc",))
+    assert _tf_set(segments_to_tf(single.doc_segments)) == full

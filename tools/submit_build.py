@@ -34,6 +34,9 @@ def main() -> None:
                     help="doc shards (0 = corpus-derived)")
     ap.add_argument("--df-target", type=int, default=100_000)
     ap.add_argument("--doc-partitions", type=int, default=0)
+    ap.add_argument("--segment-groups", type=int, default=1,
+                    help="sub-checkpoint the doc-segment stage into G "
+                         "shard groups (per-segment resume granularity)")
     ap.add_argument("--query", default=None)
     ap.add_argument("--force", action="store_true",
                     help="rebuild even if stages are COMMITTED")
@@ -62,6 +65,7 @@ def main() -> None:
         df_target=args.df_target,
         layouts=tuple(args.layouts.split(",")),
         force=args.force,
+        segment_groups=args.segment_groups,
     )
     for m in read_manifest(args.output):
         if m["status"] == "COMMITTED":
