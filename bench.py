@@ -46,6 +46,9 @@ BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "150000"))
 SCALE_N = (2, 8)
 SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "250000"))
 SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
+# stop scheduling scaling pairs once this many seconds have elapsed (the
+# driver's bench timeout is unknown; one pair is always completed)
+SCALE_BUDGET_S = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "420"))
 N_BATCH_QUERIES = 100
 TOPK = 10
 
@@ -243,7 +246,9 @@ def main() -> None:
         # masquerade as (anti-)scaling. All runs are reported.
         n_lo, n_hi = SCALE_N
         runs: dict[int, list[dict]] = {n_lo: [], n_hi: []}
-        for _ in range(SCALE_PAIRS):
+        for pair in range(SCALE_PAIRS):
+            if pair > 0 and time.perf_counter() - t_total0 > SCALE_BUDGET_S:
+                break
             for cpus in (n_lo, n_hi):
                 runs[cpus].append(_scaling_subprocess(cpus, SCALE_CONVS))
         lo = max(runs[n_lo], key=lambda r: r["turns_per_sec"])
