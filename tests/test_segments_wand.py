@@ -249,3 +249,16 @@ def test_reference_query_set_batch_agreement(spark, index):
     assert [x[:3] for x in g] == [x[:3] for x in e]
     for a, b in zip(g, e):
         assert a[3] == pytest.approx(b[3], rel=1e-9)
+
+
+def test_fused_ingest_equals_legacy_path(spark, small, index):
+    """The fused mapInPandas ingest (production) must produce exactly the
+    tf table of the legacy operators (assign_doc_ids -> build_forward ->
+    explode_forward), which are themselves oracle-checked against the
+    pure-Python reference semantics and DuckDB. Closes the loop so the
+    fused tokenizer re-implementation can never drift."""
+    from searchengine_spark.operators.docids import assign_doc_ids
+    from searchengine_spark.operators.forward import build_forward, explode_forward
+
+    legacy = explode_forward(build_forward(assign_doc_ids(small, num_partitions=3)))
+    assert _tf_set(index.tf_table) == _tf_set(legacy)
