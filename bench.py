@@ -254,6 +254,13 @@ def main() -> None:
         lo = max(runs[n_lo], key=lambda r: r["turns_per_sec"])
         hi = max(runs[n_hi], key=lambda r: r["turns_per_sec"])
         eff = hi["turns_per_sec"] / ((n_hi / n_lo) * lo["turns_per_sec"])
+        # paired estimator: adjacent runs share the host-noise window, so
+        # per-pair ratios are robust to bursts; report their median too
+        pair_effs = [
+            round(h["turns_per_sec"] / ((n_hi / n_lo) * l["turns_per_sec"]), 3)
+            for l, h in zip(runs[n_lo], runs[n_hi])
+        ]
+        med = sorted(pair_effs)[len(pair_effs) // 2]
         hashes = {r["index_hash"] for rs in runs.values() for r in rs}
         build = {
             "turns": hi["turns"],
@@ -264,6 +271,8 @@ def main() -> None:
             f"build_sec_local{n_lo}": lo["build_sec"],
             f"build_sec_local{n_hi}": hi["build_sec"],
             f"scaling_efficiency_{n_lo}_to_{n_hi}": round(eff, 3),
+            "scaling_efficiency_median_of_pairs": med,
+            "scaling_efficiency_per_pair": pair_effs,
             "all_runs": {f"local{c}": [r["turns_per_sec"] for r in rs]
                          for c, rs in runs.items()},
         }
