@@ -576,6 +576,53 @@ c AS (
 SELECT vec_id, round(cos, 6) AS cos FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10"""
 
 
+_COS_PAIR_THRESHOLD = 0.6
+
+
+def q_embedding_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: LSH-banded candidates + exact
+    cosine verify (the embedding member of the dedup family)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs(
+        emb, threshold=_COS_PAIR_THRESHOLD, n_planes=16, n_bands=4, seed=42
+    )
+
+
+def _embedding_dup_pairs_sql(sf_dir: str) -> str:
+    """Oracle replicates the deterministic LSH planes (seed=42) as VALUES
+    rows, the band-match candidate join, and the exact cosine filter."""
+    import numpy as np  # noqa: F401
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    dim = len(tbl.column("embedding")[0])
+    planes = similarity._planes(dim, 16, 42)
+    vals = ", ".join(
+        f"({p}, {i + 1}, {planes[p][i]!r})" for p in range(16) for i in range(dim)
+    )
+    return f"""WITH planes(p, i, w) AS (VALUES {vals}),
+dots AS (SELECT e.vec_id, pl.p, sum(e.embedding[pl.i]::DOUBLE * pl.w) AS d
+         FROM embeddings e CROSS JOIN planes pl GROUP BY 1, 2),
+sigs AS (SELECT vec_id, sum(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS sig
+         FROM dots GROUP BY 1),
+bands AS (SELECT vec_id, b.band, (sig >> (b.band * 4)) % 16 AS key
+          FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+         WHERE a.vec_id < b.vec_id),
+pairs AS (
+  SELECT c.id_a, c.id_b,
+    round(list_sum(list_transform(range(1, len(ea.embedding) + 1),
+            i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE))
+    / (sqrt(list_sum(list_transform(ea.embedding, x -> x::DOUBLE * x::DOUBLE)))
+       * sqrt(list_sum(list_transform(eb.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS cos
+  FROM cand c JOIN embeddings ea ON ea.vec_id = c.id_a
+              JOIN embeddings eb ON eb.vec_id = c.id_b
+)
+SELECT id_a, id_b, cos FROM pairs WHERE cos >= {_COS_PAIR_THRESHOLD}"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -640,6 +687,7 @@ def q_token_counts(spark, sf_dir):
         F.col("n_chars").cast("long").alias("n_chars"),
         F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
         F.col("n_alpha_tokens").cast("long").alias("n_alpha_tokens"),
+        F.col("n_bpeish_tokens").cast("long").alias("n_bpeish_tokens"),
     )
 
 
@@ -647,7 +695,8 @@ SQL_TOKEN_COUNTS = f"""WITH tokd AS (SELECT doc_id, {_TOKS_TEXT} AS t FROM docum
 SELECT d.doc_id,
   length(coalesce(d.text, ''))::BIGINT AS n_chars,
   len(list_filter(regexp_split_to_array(coalesce(d.text, ''), '\\s+'), x -> x <> ''))::BIGINT AS n_ws_tokens,
-  coalesce(len(t.t), 0)::BIGINT AS n_alpha_tokens
+  coalesce(len(t.t), 0)::BIGINT AS n_alpha_tokens,
+  len(regexp_extract_all(coalesce(d.text, ''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))::BIGINT AS n_bpeish_tokens
 FROM documents d JOIN tokd t ON d.doc_id = t.doc_id"""
 
 
@@ -718,6 +767,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity
         "cosine_topk": q_cosine_topk,
         "ann_topk": q_ann_topk,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
         # text analysis
         "lang_id": q_lang_id,
         "quality_score": q_quality,
@@ -755,6 +805,7 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "simhash_pairs": SQL_SIMHASH_PAIRS,
         "cosine_topk": SQL_COSINE_TOPK,
         "ann_topk": _ann_topk_sql(sf_dir),
+        "embedding_dup_pairs": _embedding_dup_pairs_sql(sf_dir),
         "lang_id": SQL_LANG_ID,
         "quality_score": SQL_QUALITY,
         "token_counts": SQL_TOKEN_COUNTS,

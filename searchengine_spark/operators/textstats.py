@@ -15,21 +15,29 @@ EN_STOPWORDS = [
 ]
 
 
+BPEISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+# GPT-2-style pre-tokenization chunks (letter runs / digit runs / symbol
+# runs), the standard proxy for BPE token budgeting; expressible
+# identically in Java regex (Spark) and RE2 (DuckDB).
+
+
 def token_counts(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """-> (id, n_chars, n_ws_tokens, n_alpha_tokens): char length,
-    whitespace-split count, admitted-token count (a cheap BPE-ish proxy
-    would add ~1.3x n_ws_tokens; we report the exact measurable counts)."""
+    """-> (id, n_chars, n_ws_tokens, n_alpha_tokens, n_bpeish_tokens):
+    char length, whitespace-split count, admitted-token count, and a
+    BPE-ish pre-token count (BPEISH_PATTERN chunks)."""
     d = with_tokens(docs)
+    txt = F.coalesce(F.col("text"), F.lit(""))
     return d.select(
         id_col,
-        F.length(F.coalesce(F.col("text"), F.lit(""))).alias("n_chars"),
+        F.length(txt).alias("n_chars"),
         F.size(
             F.filter(
-                F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+                F.split(txt, r"\s+"),
                 lambda t: t != F.lit(""),
             )
         ).alias("n_ws_tokens"),
         F.size("tokens").alias("n_alpha_tokens"),
+        F.regexp_count(txt, F.lit(BPEISH_PATTERN)).alias("n_bpeish_tokens"),
     )
 
 
