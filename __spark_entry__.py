@@ -43,8 +43,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracles for every SQL-expressible query above. ``media_features``
-    is omitted (stubbed media decoder -> rows-only check)."""
+    """DuckDB oracles — one per query above (full value-hash coverage)."""
     from searchengine_spark.entry_queries import all_oracle_sql
 
     return all_oracle_sql()

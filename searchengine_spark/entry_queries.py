@@ -240,14 +240,22 @@ def q_merge_roundtrip(spark, sf_dir):
 
 def _wand_topk(query: str, k: int = 10):
     """Block-max WAND over doc-sharded segments — must match the exhaustive
-    BM25 oracle SQL exactly (rank + rounded score)."""
+    BM25 oracle SQL exactly (rank + rounded score).
+
+    Over-fetch then round-and-relimit: the oracle selects its k rows on
+    round(score, 6) with doc_id tie-break, so selecting on raw scores could
+    flip near-ties at the k boundary (sub-1e-6 summation-order noise).
+    Fetching k+8 and re-applying orderBy/limit on the ROUNDED score matches
+    the exhaustive entries' discipline."""
     def run(spark, sf_dir):
         from searchengine_spark.operators.wand import wand_topk
 
         segs, _, stats, scalars = _doc_segments(spark, sf_dir)
-        topk = wand_topk(segs, query, stats, scalars.n_docs, scalars.avgdl, k=k)
-        return topk.select("doc_id", F.round("score", 6).alias("score")).orderBy(
-            F.desc("score"), F.asc("doc_id")
+        topk = wand_topk(segs, query, stats, scalars.n_docs, scalars.avgdl, k=k + 8)
+        return (
+            topk.select("doc_id", F.round("score", 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
         )
 
     return run
@@ -576,7 +584,10 @@ c AS (
 SELECT vec_id, round(cos, 6) AS cos FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10"""
 
 
-_COS_PAIR_THRESHOLD = 0.6
+# 0.40 yields ~30 pairs at sf0.01 (and non-empty results at sf0.001/0.1),
+# so the candidate join + cosine verify are actually exercised — a 0-row
+# vs 0-row "pass" proves nothing (round-1 advice).
+_COS_PAIR_THRESHOLD = 0.40
 
 
 def q_embedding_dup_pairs(spark, sf_dir):
@@ -728,10 +739,43 @@ SQL_PAYLOAD_META = (
 )
 
 
+_FEATURE_DIM = 8
+
+
 def q_media_features(spark, sf_dir):
-    """Rows-only check: deterministic fake decoder (real decode stubbed)."""
+    """Feature-extraction plumbing (Arrow mapInPandas over binary payloads),
+    exploded to hashable (media_id, kind, n_bytes, dim_idx, value) rows.
+
+    The deterministic fake decoder (md5(payload)[i]/255) IS expressible in
+    SQL, so this has a full value-hash oracle — not just a rows check."""
     media = multimodal.wrap_text_as_media(_docs(spark, sf_dir))
-    return multimodal.extract_features(media, dim=8)
+    feats = multimodal.extract_features(media, dim=_FEATURE_DIM)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.posexplode("features").alias("dim_idx", "value"),
+    ).select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.col("dim_idx").cast("long").alias("dim_idx"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+# fake decoder: features[i] = byte i of md5(payload) / 255; payload is the
+# UTF-8 text, so DuckDB's md5(text) sees the same bytes. k/255 has no exact
+# 6-decimal ties (255 = 3*5*17 never divides k*10^6 unless k/255 is exact
+# in tenths), so cross-engine round(,6) is stable.
+SQL_MEDIA_FEATURES = f"""WITH dims AS (SELECT unnest(range(0, {_FEATURE_DIM})) AS dim_idx),
+m AS (SELECT doc_id::BIGINT AS media_id, 'image' AS kind,
+             strlen(coalesce(text, ''))::BIGINT AS n_bytes,
+             md5(coalesce(text, '')) AS h
+      FROM documents)
+SELECT media_id, kind, n_bytes, dim_idx::BIGINT AS dim_idx,
+       round((('0x' || substring(h, dim_idx * 2 + 1, 2))::INT) / 255.0, 6) AS value
+FROM m CROSS JOIN dims"""
 
 
 # ---------------------------------------------------------------------------
@@ -775,7 +819,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_fingerprint,
         # multimodal plumbing
         "payload_meta": q_payload_meta,
-        "media_features": q_media_features,  # rows-only (stubbed decoder)
+        "media_features": q_media_features,
     }
 
 
@@ -811,5 +855,5 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "token_counts": SQL_TOKEN_COUNTS,
         "doc_fingerprint": SQL_FINGERPRINT,
         "payload_meta": SQL_PAYLOAD_META,
-        # media_features: intentionally omitted (stubbed decoder -> rows-only)
+        "media_features": SQL_MEDIA_FEATURES,
     }

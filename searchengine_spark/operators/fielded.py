@@ -73,9 +73,14 @@ def fielded_topk(
     w_map = F.create_map(
         *[F.lit(x) for kv in weights.items() for x in kv]
     )
+    # Broadcast only query-term stats rows: the full per-field stats table
+    # spans the corpus vocabulary (10^7-10^8 terms at scale) and would OOM
+    # executors as a broadcast; semi-joined to the tiny query-term frame it
+    # is O(|query| * |fields|) rows.
+    stats_q = stats.join(F.broadcast(qt.select("term")), "term")
     joined = (
         tf.join(F.broadcast(qt), "term")
-        .join(F.broadcast(stats), ["field", "term"])
+        .join(F.broadcast(stats_q), ["field", "term"])
         .join(F.broadcast(scal), "field")
     )
     idf = F.log(

@@ -188,10 +188,16 @@ def run_build(
                     n_shards=n_shards,
                 )
                 storage.write(segs, "doc_segments", partition_by="shard")
-                return _partition_metrics(storage.read("doc_segments"),
-                                          weight_col="n")
+                m = _partition_metrics(storage.read("doc_segments"),
+                                       weight_col="n")
+                return {**m, "groups": 1}
 
-            _stage(out_dir, "doc_segments", docseg, force, storage)
+            # a previously committed GROUPED layout must not be reused as-is
+            # (its g=* dirs would surface as a partition column)
+            prev1 = [m for m in read_manifest(out_dir)
+                     if m["stage"] == "doc_segments" and m["status"] == "COMMITTED"]
+            ungroup = bool(prev1) and (prev1[-1].get("groups") or 1) > 1
+            _stage(out_dir, "doc_segments", docseg, force or ungroup, storage)
         else:
             # Per-segment-group checkpoints (north star: resumable from
             # per-SEGMENT checkpoints, not just per stage): shards are
@@ -200,6 +206,7 @@ def run_build(
             # resumes at the first uncommitted group. Group membership is
             # shard % G, so membership is independent of parallelism.
             import math as _math
+            import shutil as _shutil
 
             from searchengine_spark.operators.segments import DOCS_PER_SHARD
 
@@ -207,11 +214,32 @@ def run_build(
                                                / DOCS_PER_SHARD))
             shard_size = max(1, _math.ceil(max(scalars.n_docs, 1) / ns))
             base = os.path.join(out_dir, "doc_segments.parquet")
+            # Group membership depends on (segment_groups, n_shards): a
+            # re-run with a different plan must NOT reuse committed g=*
+            # directories (wrong membership) nor let the basePath read
+            # union stale groups — detect a plan mismatch from the last
+            # COMMITTED doc_segments row and force a clean rebuild.
+            prev = [m for m in read_manifest(out_dir)
+                    if m["stage"] == "doc_segments" and m["status"] == "COMMITTED"]
+            plan_changed = bool(prev) and (
+                prev[-1].get("groups") != segment_groups
+                or prev[-1].get("n_shards") != ns
+            )
+            if plan_changed or force:
+                _shutil.rmtree(base, ignore_errors=True)
+            if plan_changed:
+                _append_manifest(out_dir, {
+                    "stage": "doc_segments", "status": "PLAN_CHANGED",
+                    "groups": segment_groups, "n_shards": ns,
+                    "prev_groups": prev[-1].get("groups"),
+                    "prev_n_shards": prev[-1].get("n_shards"),
+                    "ts": time.time(),
+                })
+            group_done = committed_stages(out_dir) if not (force or plan_changed) else set()
             for g in range(segment_groups):
                 gname = f"doc_segments:g{g}"
                 gpath = os.path.join(base, f"g={g}")
-                if not force and gname in committed_stages(out_dir) \
-                        and os.path.exists(gpath):
+                if gname in group_done and os.path.exists(gpath):
                     continue
                 t0 = time.perf_counter()
                 _append_manifest(out_dir, {"stage": gname, "status": "STARTED",
@@ -229,12 +257,25 @@ def run_build(
                 _append_manifest(out_dir, {
                     "stage": gname, "status": "COMMITTED",
                     "wall_s": round(time.perf_counter() - t0, 3),
-                    "ts": time.time(), **m,
+                    "ts": time.time(), "n_shards": ns, **m,
                 })
-            if "doc_segments" not in committed_stages(out_dir) or force:
+            # drop group dirs outside the current plan so the basePath
+            # read can never union stale groups into the result
+            if os.path.isdir(base):
+                for d in os.listdir(base):
+                    if d.startswith("g="):
+                        try:
+                            gi = int(d[2:])
+                        except ValueError:
+                            continue
+                        if gi >= segment_groups:
+                            _shutil.rmtree(os.path.join(base, d),
+                                           ignore_errors=True)
+            if plan_changed or force or "doc_segments" not in committed_stages(out_dir):
                 _append_manifest(out_dir, {
                     "stage": "doc_segments", "status": "COMMITTED",
                     "ts": time.time(), "groups": segment_groups,
+                    "n_shards": ns,
                 })
         doc_segments = spark.read.option("basePath",
                                          os.path.join(out_dir,

@@ -56,8 +56,16 @@ def read_state(index_dir: str) -> dict:
 
 
 def _write_state(index_dir: str, state: dict) -> None:
-    with open(_state_path(index_dir), "w") as f:
+    """Atomic commit: write-temp + os.replace, so a crash mid-write can
+    never leave truncated JSON that would poison every subsequent
+    read_state/process_batch/compact (the exactly-once replay path)."""
+    p = _state_path(index_dir)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(state, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, p)
 
 
 def process_batch(

@@ -34,7 +34,7 @@ def test_oracle_keys_subset_of_queries(entry_mod):
     qs = set(entry_mod.queries())
     os_ = set(entry_mod.oracle_sql())
     assert os_ <= qs
-    assert qs - os_ == {"media_features"}  # the only rows-only entry
+    assert qs == os_  # every query has a full DuckDB value-hash oracle
 
 
 def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
