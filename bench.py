@@ -197,8 +197,9 @@ def query_bench(spark) -> tuple[dict, dict]:
 
     raw_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     timed("dedup_exact", lambda: dedup.dedup_exact(raw_docs).count())
-    timed("minhash_lsh", lambda: dedup.lsh_candidate_pairs(
-        dedup.minhash_signatures(raw_docs, n_perm=8), n_bands=4).count())
+    timed("minhash_lsh", lambda: dedup.lsh_candidate_pairs_wide(
+        dedup.minhash_signatures_wide(raw_docs, n_perm=8),
+        n_perm=8, n_bands=4).count())
     timed("simhash", lambda: dedup.simhash32(raw_docs).count())
     timed("quality_score", lambda: textstats.quality_score(raw_docs).count())
 

@@ -457,8 +457,8 @@ SQL_MINHASH_SIGNATURES = f"WITH {_MH_CTES} SELECT doc_id, perm, minhash FROM mh"
 
 
 def q_lsh_candidates(spark, sf_dir):
-    sigs = dedup.minhash_signatures(_docs(spark, sf_dir), n_perm=_N_PERM)
-    return dedup.lsh_candidate_pairs(sigs, n_bands=4).select(
+    wide = dedup.minhash_signatures_wide(_docs(spark, sf_dir), n_perm=_N_PERM)
+    return dedup.lsh_candidate_pairs_wide(wide, n_perm=_N_PERM, n_bands=4).select(
         F.col("id_a").cast("long").alias("id_a"), F.col("id_b").cast("long").alias("id_b")
     )
 

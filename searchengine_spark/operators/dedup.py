@@ -101,6 +101,33 @@ def ngram_jaccard_pairs(
 
 # -- MinHash + LSH ------------------------------------------------------------
 
+def minhash_signatures_wide(
+    docs: DataFrame,
+    n_perm: int = 16,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """-> (id, mh_0 .. mh_{n_perm-1}): one row per doc.
+
+    ONE shuffle of plain (id, h) rows: the n_perm affine hashes are
+    computed as columns of the SAME row and aggregated by a single
+    groupBy(id) with n_perm min() aggregates — no n_perm-fold row
+    amplification through the exchange (round-1 rewrite: the previous
+    perm-exploded encoding pushed n_perm x |shingles| rows into the
+    partial agg and dominated the bench at 51 s/sf0.1).
+    """
+    a, b = minhash_params(n_perm, seed)
+    sh = doc_shingles(docs, id_col, k).withColumn("h", h32_col(F.col("shingle")))
+    aggs = [
+        F.min(
+            (F.lit(a[i]) * F.col("h") + F.lit(b[i])) % F.lit(MERSENNE_P)
+        ).alias(f"mh_{i}")
+        for i in range(n_perm)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
 def minhash_signatures(
     docs: DataFrame,
     n_perm: int = 16,
@@ -108,25 +135,56 @@ def minhash_signatures(
     id_col: str = "doc_id",
     k: int = SHINGLE_K,
 ) -> DataFrame:
-    """-> (id, perm, minhash): n_perm rows per doc.
+    """-> (id, perm, minhash): n_perm rows per doc (long format).
 
-    One shuffle: explode shingles, per-perm affine hash of h32(shingle)
-    (pure column arithmetic), groupBy(id) with min() per perm — expressed as
-    perm-exploded rows so the aggregation is a plain hash agg.
+    Thin unpivot over the wide layout: stack() is a projection, so the
+    long format costs no extra shuffle.
     """
-    a, b = minhash_params(n_perm, seed)
-    sh = doc_shingles(docs, id_col, k).withColumn("h", h32_col(F.col("shingle")))
-    perms = F.array(*[
+    wide = minhash_signatures_wide(docs, n_perm, seed, id_col, k)
+    pairs = ", ".join(f"{i}, mh_{i}" for i in range(n_perm))
+    return wide.selectExpr(
+        id_col, f"stack({n_perm}, {pairs}) AS (perm, minhash)"
+    )
+
+
+def lsh_candidate_pairs_wide(
+    wide: DataFrame,
+    n_perm: int,
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, mh_*) -> candidate (id_a, id_b) sharing >=1 LSH band.
+
+    Band keys are md5 of the comma-joined minhashes in perm order,
+    projected straight off the wide row (no second aggregation, no
+    driver collect); bucket join on (band, band_key).
+    """
+    rows_per_band = n_perm // n_bands
+    band_structs = [
         F.struct(
-            F.lit(i).alias("perm"),
-            ((F.lit(a[i]) * F.col("h") + F.lit(b[i])) % F.lit(MERSENNE_P)).alias("ph"),
+            F.lit(bnd).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh_{bnd * rows_per_band + j}").cast("string")
+                        for j in range(rows_per_band)
+                    ],
+                )
+            ).alias("band_key"),
         )
-        for i in range(n_perm)
-    ])
+        for bnd in range(n_bands)
+    ]
+    bands = wide.select(
+        id_col, F.explode(F.array(*band_structs)).alias("x")
+    ).select(id_col, "x.band", "x.band_key")
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (
-        sh.select(id_col, F.explode(perms).alias("p"))
-        .groupBy(id_col, F.col("p.perm").alias("perm"))
-        .agg(F.min("p.ph").alias("minhash"))
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
 
 
@@ -134,14 +192,14 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     n_bands: int = 4,
     id_col: str = "doc_id",
+    n_perm: int | None = None,
 ) -> DataFrame:
-    """(id, perm, minhash) -> candidate (id_a, id_b) sharing >=1 LSH band.
-
-    band id = perm // rows_per_band; band key = md5 of the concatenated
-    minhashes in perm order. Bucket join on (band, key).
-    """
-    n_perm_row = signatures.agg(F.max("perm").alias("m")).collect()[0]["m"]
-    rows_per_band = (int(n_perm_row) + 1) // n_bands
+    """Long-format (id, perm, minhash) variant; pass ``n_perm`` explicitly
+    to skip the max(perm) derivation job."""
+    if n_perm is None:
+        n_perm_row = signatures.agg(F.max("perm").alias("m")).collect()[0]["m"]
+        n_perm = int(n_perm_row) + 1
+    rows_per_band = n_perm // n_bands
     bands = (
         signatures.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
         .groupBy(id_col, "band")
@@ -169,8 +227,8 @@ def minhash_dedup_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Scale path: LSH candidates -> exact Jaccard verify -> pairs >= τ."""
-    sigs = minhash_signatures(docs, n_perm=n_perm, id_col=id_col)
-    cands = lsh_candidate_pairs(sigs, n_bands=n_bands, id_col=id_col)
+    wide = minhash_signatures_wide(docs, n_perm=n_perm, id_col=id_col)
+    cands = lsh_candidate_pairs_wide(wide, n_perm=n_perm, n_bands=n_bands, id_col=id_col)
     sh = doc_shingles(docs, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     inter = (

@@ -14,8 +14,10 @@ scans columnar parquet with only (id, embedding) read (column pruning).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a: str, b: str) -> F.Column:
@@ -62,19 +64,30 @@ def lsh_signatures(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """-> (id, sig:long): random-hyperplane signature, bit i = sign of
-    dot(v, plane_i). Pure column arithmetic over literal plane arrays."""
-    planes = _planes(dim, n_planes, seed)
-    sig = F.lit(0).cast("long")
-    for i in range(n_planes):
-        p = F.array(*[F.lit(float(x)) for x in planes[i]])
-        d = F.expr(
-            f"aggregate(zip_with({vec_col}, _p{i}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
-        )
-        embeddings = embeddings.withColumn(f"_p{i}", p).withColumn(
-            f"_b{i}", F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
-        )
-        sig = sig + F.col(f"_b{i}")
-    return embeddings.select(F.col(id_col), sig.alias("sig"))
+    dot(v, plane_i).
+
+    ONE Arrow pass: each batch is stacked into an (n, dim) float64 matrix
+    and multiplied against the broadcast-by-closure (dim, n_planes) plane
+    matrix — a single BLAS matmul per batch. (The round-1 version built
+    n_planes literal arrays of dim doubles as separate columns; at a real
+    embedding dim of 768 that is 12k+ codegen literals and the plan itself
+    becomes the bottleneck. The matmul plan is O(1) in dim and n_planes.)
+    """
+    planes_t = np.ascontiguousarray(_planes(dim, n_planes, seed).T)  # (dim, n_planes)
+    bitvals = (1 << np.arange(n_planes)).astype(np.int64)
+    schema = T.StructType(
+        [embeddings.schema[id_col], T.StructField("sig", T.LongType(), False)]
+    )
+
+    def _sig(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sig = ((m @ planes_t) > 0).astype(np.int64) @ bitvals
+            yield pd.DataFrame({id_col: pdf[id_col], "sig": sig})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(_sig, schema)
 
 
 def ann_topk(
@@ -124,7 +137,7 @@ def cosine_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding near-dup pairs (cos >= τ) via LSH candidates + exact verify."""
-    dim = len(embeddings.select(F.size(vec_col)).first()[0] * [0])
+    dim = int(embeddings.select(F.size(vec_col)).first()[0])
     sigs = lsh_signatures(embeddings, dim, n_planes, seed, id_col, vec_col)
     bits_per_band = n_planes // n_bands
     bands = sigs.select(

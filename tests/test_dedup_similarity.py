@@ -1,0 +1,152 @@
+"""Dedup + similarity operator tests: the round-2 shuffle/plan rewrites.
+
+- MinHash wide layout == pure-Python oracle and == legacy long layout
+- LSH candidate pairs identical between wide and long band-key paths
+- lsh_signatures: matmul signatures == per-plane sign bits (numpy oracle),
+  and the plan stays O(1) in embedding dim (no literal-array blowup)
+- cosine_pairs finds planted exact duplicates (non-vacuous by construction)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.functions.hashing import MERSENNE_P, minhash_params
+from searchengine_spark.functions.tokenize import tokenize_py
+from searchengine_spark.operators import dedup, similarity
+
+N_PERM = 8
+
+_DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog again and again"),
+    (1, "the quick brown fox jumps over the lazy cat again and again"),
+    (2, "completely different text about spark shuffles and partitions"),
+    (3, "the quick brown fox jumps over the lazy dog again and again"),
+    (4, "spark shuffles and partitions require careful skew handling"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(_DOCS, "doc_id long, text string")
+
+
+def _py_shingles(text: str, k: int = dedup.SHINGLE_K) -> set[str]:
+    toks = tokenize_py(text)
+    return {" ".join(toks[i:i + k]) for i in range(max(len(toks) - k + 1, 0))}
+
+
+def _py_minhash(text: str, n_perm: int = N_PERM) -> list[int]:
+    a, b = minhash_params(n_perm)
+    hs = [
+        int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+        for s in _py_shingles(text)
+    ]
+    return [min((a[i] * h + b[i]) % MERSENNE_P for h in hs) for i in range(n_perm)]
+
+
+def test_minhash_wide_matches_python_oracle(spark, docs_df):
+    wide = {
+        r["doc_id"]: [r[f"mh_{i}"] for i in range(N_PERM)]
+        for r in dedup.minhash_signatures_wide(docs_df, n_perm=N_PERM).collect()
+    }
+    for doc_id, text in _DOCS:
+        assert wide[doc_id] == _py_minhash(text), f"doc {doc_id}"
+
+
+def test_minhash_long_is_unpivot_of_wide(spark, docs_df):
+    long_rows = {
+        (r["doc_id"], r["perm"]): r["minhash"]
+        for r in dedup.minhash_signatures(docs_df, n_perm=N_PERM).collect()
+    }
+    assert len(long_rows) == len(_DOCS) * N_PERM
+    for doc_id, text in _DOCS:
+        oracle = _py_minhash(text)
+        for i in range(N_PERM):
+            assert long_rows[(doc_id, i)] == oracle[i]
+
+
+def test_lsh_candidates_wide_equals_long(spark, docs_df):
+    wide = dedup.minhash_signatures_wide(docs_df, n_perm=N_PERM)
+    long_sig = dedup.minhash_signatures(docs_df, n_perm=N_PERM)
+    got_wide = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs_wide(wide, n_perm=N_PERM, n_bands=4).collect()
+    }
+    got_long = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(long_sig, n_bands=4).collect()
+    }
+    assert got_wide == got_long
+    # exact duplicates (0, 3) must collide in every band
+    assert (0, 3) in got_wide
+
+
+def test_minhash_dedup_pairs_end_to_end(spark, docs_df):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_dedup_pairs(
+            docs_df, n_perm=N_PERM, n_bands=4, threshold=0.5
+        ).collect()
+    }
+    assert pairs.get((0, 3)) == 1.0  # exact dup survives verify
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+def _emb_df(spark, n: int, dim: int, seed: int = 7, dupes: int = 3):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, dim)).astype(np.float32)
+    for i in range(dupes):  # plant exact duplicates (cos == 1.0)
+        m[n - 1 - i] = m[i]
+    rows = [(i, [float(x) for x in m[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), m
+
+
+def test_lsh_signatures_match_numpy_oracle(spark):
+    df, m = _emb_df(spark, 40, 16)
+    got = {r["vec_id"]: r["sig"] for r in
+           similarity.lsh_signatures(df, dim=16, n_planes=8).collect()}
+    planes = similarity._planes(16, 8, 42)
+    dots = m.astype(np.float64) @ planes.T
+    want = ((dots > 0).astype(np.int64) @ (1 << np.arange(8))).tolist()
+    assert [got[i] for i in range(40)] == want
+
+
+def test_lsh_signature_plan_bounded_at_high_dim(spark):
+    """The signature plan must be O(1) in dim: at dim=256 with 32 planes the
+    round-1 literal-array plan would embed 8k+ doubles; the matmul plan is a
+    single MapInPandas node and its string stays small."""
+    df, _ = _emb_df(spark, 8, 256)
+    sigs = similarity.lsh_signatures(df, dim=256, n_planes=32)
+    plan = sigs._jdf.queryExecution().optimizedPlan().toString()
+    assert "MapInPandas" in plan
+    assert len(plan) < 5000, f"plan blew up: {len(plan)} chars"
+    assert sigs.count() == 8  # and it actually runs
+
+
+def test_cosine_pairs_finds_planted_duplicates(spark):
+    df, _ = _emb_df(spark, 60, 32, dupes=3)
+    got = {(r["id_a"], r["id_b"]): r["cos"]
+           for r in similarity.cosine_pairs(df, threshold=0.99, n_planes=16,
+                                            n_bands=4).collect()}
+    for i in range(3):
+        assert got.get((i, 59 - i)) == pytest.approx(1.0), (i, 59 - i)
+
+
+def test_ann_topk_agrees_with_brute_force_on_duplicates(spark):
+    df, m = _emb_df(spark, 60, 32, dupes=1)
+    q = [float(x) for x in m[0]]
+    ann = similarity.ann_topk(df, q, k=3, n_planes=16, n_bands=4).collect()
+    # vec 0 and its planted duplicate 59 share every band with the query
+    # (identical vectors), so both must surface with cos 1.0
+    top_ids = {r["vec_id"] for r in ann}
+    assert {0, 59} <= top_ids
+    assert all(r["cos"] <= 1.0 for r in ann)
+    assert [r["cos"] for r in ann] == sorted((r["cos"] for r in ann), reverse=True)
