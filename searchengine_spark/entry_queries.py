@@ -302,6 +302,51 @@ SELECT doc_id, round(sum(w), 6) AS score FROM partial GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 
+_REF_FIELD_CAP = 50  # small enough to BIND at sf0.01 (hot terms have df > 50)
+
+
+def q_fielded_reference_topk(spark, sf_dir, query: str = "spark join fast", k: int = 10):
+    """Reference-EXACT two-field boost semantics (Engine.cs:146-173):
+    boosted field scores weight*tf*qf unnormalized (title side, x100 at
+    Engine.cs:18,162), base fields score (tf/(cf/N))*qf (body side,
+    Engine.cs:151,172), per-(field,term) posting cap with pinned
+    tie-break (Engine.cs:185,193)."""
+    from searchengine_spark.operators.fielded import fielded_topk
+
+    out = fielded_topk(
+        _docs(spark, sf_dir), "lang", {"en": 100.0}, query, k=k,
+        mode="reference", posting_cap=_REF_FIELD_CAP,
+    )
+    return out.select("doc_id", F.round("score", 6).alias("score")).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
+def _fielded_reference_topk_sql(query: str, k: int = 10, cap: int = _REF_FIELD_CAP) -> str:
+    return f"""WITH ftokd AS (SELECT doc_id, lang AS field, {_TOKS_TEXT} AS t FROM documents),
+ftoks AS (SELECT doc_id, field, unnest(t) AS term FROM ftokd),
+ftf AS (SELECT doc_id, field, term, count(*)::BIGINT AS tf FROM ftoks GROUP BY 1, 2, 3),
+fstats AS (SELECT field, term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM ftf GROUP BY 1, 2),
+fscal AS (SELECT field, count(DISTINCT doc_id)::BIGINT AS n_fdocs FROM ftf GROUP BY 1),
+{_query_cte(query)},
+capped AS (
+  SELECT x.doc_id, x.field, x.term, x.tf, x.qf FROM (
+    SELECT ftf.doc_id, ftf.field, ftf.term, ftf.tf, q.qf,
+           row_number() OVER (PARTITION BY ftf.field, ftf.term
+                              ORDER BY ftf.tf DESC, ftf.doc_id ASC) AS rn
+    FROM ftf JOIN q USING (term)
+  ) x WHERE x.rn <= {cap}
+),
+partial AS (
+  SELECT c.doc_id,
+         CASE WHEN c.field = 'en' THEN 100.0 * c.tf * c.qf
+              ELSE c.qf * c.tf / (st.cf::DOUBLE / sc.n_fdocs) END AS w
+  FROM capped c JOIN fstats st USING (field, term) JOIN fscal sc USING (field)
+)
+SELECT doc_id, round(sum(w), 6) AS score FROM partial GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
 _BATCH_QUERIES = ["spark join fast", "dup", "the the data", "window agg stream", "zzzabsent"]
 
 
@@ -764,6 +809,29 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_media_decode(spark, sf_dir):
+    """REAL media decode: deterministic PPM/WAV payloads are generated
+    distributed (closed-form in doc_id), then actually parsed back by the
+    numpy container decoders; the oracle recomputes the expected decoded
+    dimensions/means analytically in SQL (no decode on the oracle side) —
+    so any parser bug breaks the value hash."""
+    media = multimodal.synth_media(_docs(spark, sf_dir))
+    out = multimodal.decode_features(media)
+    return out.select(
+        "media_id", "kind", "dim_a", "dim_b",
+        F.round("mean_value", 6).alias("mean_value"),
+    )
+
+
+SQL_MEDIA_DECODE = """SELECT doc_id::BIGINT AS media_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+  (CASE WHEN doc_id % 2 = 0 THEN doc_id % 16 + 1 ELSE doc_id % 64 + 1 END)::BIGINT AS dim_a,
+  (CASE WHEN doc_id % 2 = 0 THEN doc_id % 8 + 1 ELSE 8000 END)::BIGINT AS dim_b,
+  round((CASE WHEN doc_id % 2 = 0 THEN doc_id % 256
+              ELSE doc_id % 1000 - 500 END)::DOUBLE, 6) AS mean_value
+FROM documents"""
+
+
 # fake decoder: features[i] = byte i of md5(payload) / 255; payload is the
 # UTF-8 text, so DuckDB's md5(text) sees the same bytes. k/255 has no exact
 # 6-decimal ties (255 = 3*5*17 never divides k*10^6 unless k/255 is exact
@@ -798,6 +866,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_roundtrip": q_segment_roundtrip,
         "merge_segments_roundtrip": q_merge_roundtrip,
         "fielded_topk": q_fielded_topk,
+        "fielded_reference_topk": q_fielded_reference_topk,
         "batch_topk": q_batch_topk,
         "batch_wand_topk": q_batch_wand_topk,
         "doc_id_rank": q_doc_id_rank,
@@ -820,6 +889,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing
         "payload_meta": q_payload_meta,
         "media_features": q_media_features,
+        "media_decode": q_media_decode,
     }
 
 
@@ -838,6 +908,7 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "segment_roundtrip": SQL_TF_POSTINGS,
         "merge_segments_roundtrip": SQL_TF_POSTINGS,
         "fielded_topk": _fielded_topk_sql("spark join fast", 10),
+        "fielded_reference_topk": _fielded_reference_topk_sql("spark join fast", 10),
         "batch_topk": _batch_topk_sql(5),
         "batch_wand_topk": _batch_topk_sql(5),
         "doc_id_rank": SQL_DOC_ID_RANK,
@@ -856,4 +927,5 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "doc_fingerprint": SQL_FINGERPRINT,
         "payload_meta": SQL_PAYLOAD_META,
         "media_features": SQL_MEDIA_FEATURES,
+        "media_decode": SQL_MEDIA_DECODE,
     }

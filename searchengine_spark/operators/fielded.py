@@ -22,7 +22,7 @@ mode="reference").
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from searchengine_spark.functions.scoring import bm25_weight, idf_col
@@ -53,16 +53,32 @@ def fielded_topk(
     k: int = 10,
     doc_col: str = "doc_id",
     text_col: str = "text",
+    mode: str = "bm25f",
+    posting_cap: int | None = None,
 ) -> DataFrame:
-    """Boosted multi-field BM25 top-k -> (doc_id, score).
+    """Boosted multi-field top-k -> (doc_id, score).
 
-    df/N/avgdl are computed per field (each field is its own corpus for
+    df/cf/N/avgdl are computed per field (each field is its own corpus for
     stats, mirroring the reference's two separately built indexes).
+
+    ``mode="bm25f"`` (default): per-field BM25 with per-field length
+    normalization, boost applied multiplicatively.
+
+    ``mode="reference"``: the reference Engine's exact two-field formula
+    (SearchEngine Engine/Engine/Engine.cs:146-173) generalized to N
+    fields — a field with weight w != 1 scores ``w * tf * qf`` with NO
+    normalization (the title side, TitleScore=100 at Engine.cs:18,162);
+    a weight-1 field scores ``(tf / mean_t) * qf`` with mean_t = cf_t / N
+    (the body side, Engine.cs:151,172). ``posting_cap`` reproduces the
+    per-term 1000-highest-tf truncation (Engine.cs:185,193) with the
+    pinned (tf desc, doc_id asc) tie-break.
     """
     spark = docs.sparkSession
     tf = build_fielded_tf(docs, field_col, doc_col, text_col)
 
-    stats = tf.groupBy("field", "term").agg(F.count("*").alias("df"))
+    stats = tf.groupBy("field", "term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
     scal = (
         tf.groupBy("field", "doc_id").agg(F.first("fdl").alias("fdl"))
         .groupBy("field")
@@ -83,18 +99,39 @@ def fielded_topk(
         .join(F.broadcast(stats_q), ["field", "term"])
         .join(F.broadcast(scal), "field")
     )
-    idf = F.log(
-        (F.col("n_fdocs") - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5)) + F.lit(1.0)
-    )
-    denom = F.col("tf") + F.lit(1.2) * (
-        F.lit(1.0 - 0.75) + F.lit(0.75) * F.col("fdl") / F.col("avgfdl")
-    )
-    w = idf * (F.col("tf") * F.lit(2.2)) / denom
-    scored = joined.withColumn(
-        "partial",
-        F.coalesce(w_map[F.col("field")], F.lit(1.0)) * F.col("qf") * w,
-    )
+    if posting_cap is not None:
+        # reference per-term truncation: only the posting_cap highest-tf
+        # postings of each (field, term) are scored; applied AFTER the
+        # query-term semi-join so the window only shuffles matched rows
+        w_rank = Window.partitionBy("field", "term").orderBy(
+            F.desc("tf"), F.asc("doc_id")
+        )
+        joined = (
+            joined.withColumn("_rn", F.row_number().over(w_rank))
+            .filter(F.col("_rn") <= posting_cap)
+            .drop("_rn")
+        )
+
+    boost = F.coalesce(w_map[F.col("field")], F.lit(1.0))
+    if mode == "reference":
+        partial = F.when(
+            boost != 1.0, boost * F.col("tf") * F.col("qf")
+        ).otherwise(
+            F.col("qf") * F.col("tf")
+            / (F.col("cf").cast("double") / F.col("n_fdocs"))
+        )
+    elif mode == "bm25f":
+        idf = F.log(
+            (F.col("n_fdocs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5)) + F.lit(1.0)
+        )
+        denom = F.col("tf") + F.lit(1.2) * (
+            F.lit(1.0 - 0.75) + F.lit(0.75) * F.col("fdl") / F.col("avgfdl")
+        )
+        partial = boost * F.col("qf") * idf * (F.col("tf") * F.lit(2.2)) / denom
+    else:
+        raise ValueError(f"unknown fielded mode: {mode!r}")
+    scored = joined.withColumn("partial", partial)
     return (
         scored.groupBy("doc_id").agg(F.sum("partial").alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))

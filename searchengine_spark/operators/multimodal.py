@@ -1,11 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns + typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The decode/resize/frame-sample kernels require image/audio libraries that
-are NOT in this container — they are STUBBED behind ``NotImplementedError``
-with a deterministic fake used by tests. The Spark-side plumbing (schema,
-partition-preserving mapInPandas, batch shapes, metadata extraction) is
-real and tested.
+Decode kernels: PPM (binary P6 image) and WAV (RIFF PCM-16 mono audio)
+are decoded FOR REAL with dependency-free bytes+numpy parsers
+(``decode_ppm`` / ``decode_wav``) — the decode->feature-extract stage is a
+genuine, oracle-checked operator. Compressed formats (JPEG/PNG/MP3) need
+image/audio libraries NOT in this container and stay stubbed behind
+``NotImplementedError`` (``decode_image``); tests for the generic
+feature-plumbing path use a deterministic md5 fake.
 
 Scale notes: payloads stay as parquet binary (never exploded to rows of
 bytes); per-batch Arrow transfer; feature extraction yields fixed-width
@@ -61,11 +63,110 @@ def payload_meta(media: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> "object":
-    """Real decoder — requires PIL/cv2, not present in this container."""
+    """Compressed-format decoder (JPEG/PNG) — requires PIL/cv2, not present
+    in this container. Uncompressed containers ARE decoded for real:
+    ``decode_ppm`` (image) and ``decode_wav`` (audio) below."""
     raise NotImplementedError(
-        "image decode requires PIL/opencv; wire in on a cluster image. "
-        "Tests use fake_decode_features()."
+        "JPEG/PNG decode requires PIL/opencv; wire in on a cluster image. "
+        "PPM/WAV payloads are decoded for real by decode_ppm/decode_wav."
     )
+
+
+# ---------------------------------------------------------------------------
+# real decoders (dependency-free: bytes + numpy)
+# ---------------------------------------------------------------------------
+
+def encode_ppm(pixels: "np.ndarray") -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6) payload."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, c = px.shape
+    assert c == 3
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Binary PPM (P6) -> (width, height, pixels:(h,w,3) uint8).
+
+    Real parser: header tokens (magic, width, height, maxval) separated by
+    whitespace, '#' comments to end-of-line, one whitespace byte before the
+    raw RGB plane."""
+    import numpy as np
+
+    if not payload or payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, vals = 2, []
+    n = len(payload)
+    while len(vals) < 3:
+        while pos < n and payload[pos:pos + 1].isspace():
+            pos += 1
+        if pos < n and payload[pos:pos + 1] == b"#":
+            while pos < n and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < n and not payload[pos:pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        vals.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    w, h, maxval = vals
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    need = w * h * 3
+    if n - pos < need:
+        raise ValueError("truncated PPM pixel plane")
+    px = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+    return w, h, px.reshape(h, w, 3)
+
+
+def encode_wav(samples: "np.ndarray", sample_rate: int = 8000) -> bytes:
+    """int16 mono samples -> minimal RIFF/WAVE (PCM 16-bit) payload."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype="<i2")
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """RIFF/WAVE (PCM 16-bit mono) -> (sample_rate, samples:int16).
+
+    Real parser: walks RIFF chunks to find 'fmt ' and 'data' (in any
+    order, skipping unknown chunks)."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(payload)
+    sample_rate = None
+    samples = None
+    while pos + 8 <= n:
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = pos + 8
+        if cid == b"fmt ":
+            audio_fmt, channels, sample_rate = struct.unpack_from(
+                "<HHI", payload, body
+            )
+            if audio_fmt != 1 or channels != 1:
+                raise ValueError("only PCM mono supported")
+        elif cid == b"data":
+            samples = np.frombuffer(payload, dtype="<i2", count=size // 2,
+                                    offset=body)
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    if sample_rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return int(sample_rate), samples
 
 
 def fake_decode_features(payload: bytes, dim: int = 8) -> list[float]:
@@ -106,6 +207,88 @@ def extract_features(media: DataFrame, dim: int = 8, use_fake: bool = True) -> D
             )
 
     return media.mapInPandas(_extract, schema=_FEATURE_SCHEMA)
+
+
+def synth_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic media fixture generator (distributed, Arrow-batched):
+    even ids -> real PPM images (w = id%16+1, h = id%8+1, all pixels
+    id%256), odd ids -> real WAV audio (n = id%64+1 samples at 8 kHz, all
+    samples id%1000-500). Closed-form in id, so decoded dimensions and
+    means are oracle-checkable by analytic SQL with NO decode on the
+    oracle side."""
+    import numpy as np
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            kinds, payloads = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                if i % 2 == 0:
+                    w, h, v = i % 16 + 1, i % 8 + 1, i % 256
+                    kinds.append("image")
+                    payloads.append(
+                        encode_ppm(np.full((h, w, 3), v, dtype=np.uint8))
+                    )
+                else:
+                    amp = i % 1000 - 500
+                    s = np.full(i % 64 + 1, amp, dtype=np.int16)
+                    kinds.append("audio")
+                    payloads.append(encode_wav(s, 8000))
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col].astype("int64"),
+                 "kind": kinds, "payload": payloads}
+            )
+
+    return ids.select(id_col).mapInPandas(
+        _gen, "media_id long, kind string, payload binary"
+    )
+
+
+_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("dim_a", T.LongType(), False),   # image: width; audio: n_samples
+        T.StructField("dim_b", T.LongType(), False),   # image: height; audio: sample_rate
+        T.StructField("mean_value", T.DoubleType(), False),
+    ]
+)
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """REAL decode kernel over opaque binary payloads: parse PPM / WAV
+    bytes per row inside an Arrow-batched mapInPandas and emit typed
+    features (dimensions + mean intensity/amplitude). This is the
+    decode->feature-extract stage of a multimodal training pipeline with
+    the container parsing actually performed (not stubbed)."""
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            da, db, mv = [], [], []
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                if kind == "image":
+                    w, h, px = decode_ppm(bytes(payload))
+                    da.append(w)
+                    db.append(h)
+                    mv.append(float(px.mean()))
+                elif kind == "audio":
+                    rate, samples = decode_wav(bytes(payload))
+                    da.append(len(samples))
+                    db.append(rate)
+                    mv.append(float(samples.mean()))
+                else:
+                    raise ValueError(f"no real decoder for kind={kind!r}")
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "kind": pdf["kind"],
+                 "dim_a": da, "dim_b": db, "mean_value": mv}
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        _dec, _DECODE_SCHEMA
+    )
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
