@@ -1,26 +1,39 @@
 """Fused ingest: deterministic doc-id assignment + tokenization in ONE
-Arrow pass over the corpus.
+pass over the corpus.
 
 The reference makes two separate passes with files between them (Repository
 writes the doc store, Indexer's ForwardIndex stage re-reads and tokenizes —
 SearchEngine Indexer/Repository/Program.cs:44-192, Indexer/Program.cs:238-414).
 At 100 TB every extra pass over the text is the dominant cost, so the new
-engine does both in a single ``mapInPandas``:
+engine does both in a single pass. TWO equivalent tokenize engines
+(cross-checked bit-identical by tests):
+
+- ``tokenizer="jvm"`` (default): split/filter/lower as Catalyst
+  expressions inside whole-stage codegen — ZERO Python in the build hot
+  loop, so no JVM<->Python Arrow traffic at all for the text pass (the
+  task-level guidance: built-in functions beat UDFs; UDFs are the slow
+  path). doc_id = partition offset (driver prefix-sum) + the
+  monotonically_increasing_id local counter, all JVM. Emits raw token
+  arrays; the per-doc tf aggregation happens in ``tf_from_doc_map`` as a
+  hash agg whose partial phase collapses map-side (a doc's tokens are
+  contiguous in its range partition).
+- ``tokenizer="arrow"``: the vectorized pandas/Arrow UDF pass (regex +
+  Counter per batch) emitting pre-aggregated (terms, tfs) — the
+  north-star Arrow-UDF formulation, kept as a first-class mode and the
+  cross-check oracle for the JVM path.
 
     transcripts --repartitionByRange(conv_id, turn_idx)
                 --sortWithinPartitions
                 --[count job -> driver prefix-sum offsets]
-                --mapInPandas: doc_id = offset + local row number,
-                               tokenize (vectorized regex + Counter),
-                               emit (doc_id, meta..., dl, terms, tfs)
-
-Downstream everything is JVM-side: the tf table is
-``explode(arrays_zip(terms, tfs))`` (flat list<string>/list<int> Arrow
-columns convert ~2x faster than list<struct>), stats are one hash agg.
+                --tokenize + doc_id    (JVM codegen | one Arrow pass)
+                --emit (doc_id, meta..., dl, tokens | terms+tfs)
 
 Determinism: (conv_id, turn_idx) is unique, so global rank == doc_id no
 matter where range-sampling places partition boundaries (same argument as
-operators/docids.py, which remains the standalone id-assigner).
+operators/docids.py, which remains the standalone id-assigner). The
+persisted ranged copy pins partition contents, and within a partition
+both the mapInPandas counter and monotonically_increasing_id assign in
+the sorted row order.
 """
 
 from __future__ import annotations
@@ -33,7 +46,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from searchengine_spark.functions.tokenize import MAX_TOKEN_LEN
+from searchengine_spark.functions.tokenize import MAX_TOKEN_LEN, spark_tokens_sql
 
 ORDER_COLS = ["conv_id", "turn_idx"]
 
@@ -46,9 +59,11 @@ def tokenized_doc_map(
     persist: bool = True,
     keep_text: bool = True,
     start_id: int = 0,
+    tokenizer: str = "jvm",
 ) -> DataFrame:
     """transcripts -> (doc_id, conv_id, turn_idx, role, tool, ts[, text],
-    dl, terms:array<string>, tfs:array<int>) in one Python pass.
+    dl, tokens | terms+tfs) in one pass (see module docstring for the two
+    tokenize engines; both yield the identical tf table downstream).
 
     ``keep_text`` keeps the raw text column: the doc map doubles as the
     document store (the reference's wikitext.txt + index,
@@ -76,6 +91,61 @@ def tokenized_doc_map(
     for pid in range(num_partitions):
         offsets[pid] = acc
         acc += count_by_pid.get(pid, 0)
+
+    if tokenizer == "jvm":
+        # doc_id: partition offset + monotonically_increasing_id's local
+        # counter (id = pid << 33 | local position, assigned in the
+        # sorted in-partition row order) — no window, no extra shuffle.
+        omap = F.create_map(
+            *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+        )
+        mono = F.monotonically_increasing_id()
+        pid = F.shiftright(mono, 33).cast("int")
+        local = mono - F.shiftleft(pid.cast("long"), 33)
+        # per-doc tf vector WITHOUT any aggregation/shuffle: sort the token
+        # array, then run-length-encode runs of equal tokens with array
+        # expressions (starts = run start positions; tf = next start - start)
+        # — the JVM twin of the Arrow pass's Counter, whole-stage codegen.
+        toks = F.coalesce(
+            F.expr(spark_tokens_sql("text")),
+            F.array().cast("array<string>"),
+        )
+        meta = [f.name for f in transcripts.schema
+                if keep_text or f.name != "text"]
+        starts = (
+            "filter(sequence(1, size(_s)),"
+            " i -> i = 1 OR element_at(_s, i) != element_at(_s, i - 1))"
+        )
+        out = (
+            ranged.select(
+                (omap[pid] + local).alias("doc_id"), *meta,
+                F.array_sort(toks).alias("_s"),
+            )
+            .withColumn(
+                "_starts",
+                F.expr(
+                    "CASE WHEN size(_s) = 0"
+                    f" THEN cast(array() as array<int>) ELSE {starts} END"
+                ),
+            )
+            .select(
+                "doc_id",
+                *meta,
+                F.size("_s").alias("dl"),
+                F.expr("transform(_starts, i -> element_at(_s, i))")
+                .alias("terms"),
+                F.expr(
+                    "CASE WHEN size(_starts) = 0 THEN cast(array() as array<int>)"
+                    " ELSE zip_with(_starts,"
+                    " concat(slice(_starts, 2, greatest(size(_starts) - 1, 0)),"
+                    "        array(size(_s) + 1)),"
+                    " (a, b) -> cast(b - a as int)) END"
+                ).alias("tfs"),
+            )
+        )
+        return out
+    if tokenizer != "arrow":
+        raise ValueError(f"unknown tokenizer engine: {tokenizer!r}")
     b_offsets = spark.sparkContext.broadcast(offsets)
 
     meta_fields = [
@@ -127,7 +197,8 @@ def tokenized_doc_map(
 
 def tf_from_doc_map(doc_map: DataFrame) -> DataFrame:
     """Fused doc map -> tf table (term, doc_id, tf, dl) — JVM-side explode,
-    no Python."""
+    no Python, no aggregation (both tokenizer engines emit pre-aggregated
+    per-doc (terms, tfs) arrays)."""
     return doc_map.select(
         "doc_id",
         "dl",

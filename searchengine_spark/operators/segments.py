@@ -149,14 +149,23 @@ def _grouped_posting_arrays(tf_table: DataFrame, key_cols: list[str]) -> DataFra
 
 
 def _encode_group_frame(pdf: pd.DataFrame, key_cols: list[str],
-                        avgdl: float) -> pd.DataFrame:
+                        avgdl: float, shard_size: int | None = None) -> pd.DataFrame:
     """Encode a batch of (key..., doc_arr, tf_arr, dl_arr) rows into segment
     rows. Vectorized across ALL groups in the batch: arrays are
     concatenated once, varint bytes computed once, and each group slices
-    the shared blobs at precomputed offsets."""
+    the shared blobs at precomputed offsets.
+
+    With ``shard_size`` set, doc_arr holds SHARD-RELATIVE int32 offsets
+    (absolute = shard * shard_size + offset): shard_size <= 2^31 always
+    (65 536 default), so the doc column crossing the JVM->Python Arrow
+    boundary is int32 instead of int64 — half the socket bytes of the
+    encoder's dominant input, with bit-identical output segments."""
     arrs = pdf["doc_arr"].to_numpy()
     lens = np.fromiter((len(a) for a in arrs), np.int64, len(arrs))
     doc = np.concatenate(arrs).astype(np.uint64)
+    if shard_size is not None:
+        base = np.repeat(pdf["shard"].to_numpy().astype(np.uint64), lens)
+        doc = doc + base * np.uint64(shard_size)
     tf = np.concatenate(pdf["tf_arr"].to_numpy()).astype(np.uint64)
     dl = np.concatenate(pdf["dl_arr"].to_numpy()).astype(np.uint64)
     bounds = np.zeros(len(arrs) + 1, np.int64)
@@ -194,13 +203,14 @@ def _encode_group_frame(pdf: pd.DataFrame, key_cols: list[str],
     return pd.DataFrame(rows)
 
 
-def _group_encoder(key_cols: list[str], avgdl: float):
+def _group_encoder(key_cols: list[str], avgdl: float,
+                   shard_size: int | None = None):
     avgdl = float(avgdl) if avgdl else 1.0
 
     def encode(batches):
         for pdf in batches:
             if len(pdf):
-                yield _encode_group_frame(pdf, key_cols, avgdl)
+                yield _encode_group_frame(pdf, key_cols, avgdl, shard_size)
 
     return encode
 
@@ -257,12 +267,20 @@ def build_doc_segments(
         n_shards = max(1, math.ceil(max(n_docs, 1) / DOCS_PER_SHARD))
     shard_size = max(1, math.ceil(max(n_docs, 1) / n_shards))
 
+    # shard-relative int32 doc offsets + int32 tf/dl through the Arrow
+    # boundary (see _encode_group_frame): halves the encoder's input bytes
     with_shard = tf_table.withColumn(
         "shard", (F.col("doc_id") / F.lit(shard_size)).cast("int")
-    )
+    ).withColumn(
+        "doc_id",
+        (F.col("doc_id") - F.col("shard").cast("long") * F.lit(shard_size))
+        .cast("int"),
+    ).withColumn("tf", F.col("tf").cast("int")) \
+     .withColumn("dl", F.col("dl").cast("int"))
     grouped = _grouped_posting_arrays(with_shard, ["shard", "term"])
     return grouped.mapInPandas(
-        _group_encoder(["shard", "term"], avgdl), DOC_SEGMENT_SCHEMA
+        _group_encoder(["shard", "term"], avgdl, shard_size=shard_size),
+        DOC_SEGMENT_SCHEMA,
     )
 
 

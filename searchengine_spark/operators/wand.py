@@ -232,6 +232,62 @@ def wand_topk(
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+_WAND_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType(), False),
+        T.StructField("candidates", T.LongType(), False),
+        T.StructField("scored", T.LongType(), False),
+        T.StructField("block_skipped", T.LongType(), False),
+    ]
+)
+
+
+def wand_pruning_stats(
+    doc_segments: DataFrame,
+    query: str,
+    term_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+) -> dict:
+    """Run block-max WAND and return aggregate pruning counters:
+    ``candidates`` (postings in the matched lists), ``scored`` (pivot docs
+    fully scored), ``block_skipped`` (pivots rejected by the block-max
+    refinement). scored/candidates is the fraction of the OR-union the
+    heap actually evaluated — the effectiveness number block-max WAND
+    exists for (Ding & Suel 2011), tracked per round in the bench."""
+    qf_map = query_qf(query)
+    if not qf_map:
+        return {"candidates": 0, "scored": 0, "block_skipped": 0}
+    df_rows = (
+        term_stats.filter(F.col("term").isin(list(qf_map)))
+        .select("term", "df")
+        .collect()
+    )
+    idf_map = {r["term"]: idf_np(int(r["df"]), n_docs) for r in df_rows}
+    if not idf_map:
+        return {"candidates": 0, "scored": 0, "block_skipped": 0}
+    matched = doc_segments.filter(F.col("term").isin(list(idf_map)))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        postings = [_Postings(r) for r in pdf.itertuples(index=False)]
+        stats: dict = {}
+        _wand_shard(postings, qf_map, idf_map, avgdl, k, stats=stats)
+        return pd.DataFrame(
+            {"shard": [int(pdf["shard"].iloc[0])],
+             "candidates": [int(stats.get("candidates", 0))],
+             "scored": [int(stats.get("scored", 0))],
+             "block_skipped": [int(stats.get("block_skipped", 0))]}
+        )
+
+    rows = matched.groupBy("shard").applyInPandas(run, _WAND_STATS_SCHEMA).collect()
+    return {
+        "candidates": sum(r["candidates"] for r in rows),
+        "scored": sum(r["scored"] for r in rows),
+        "block_skipped": sum(r["block_skipped"] for r in rows),
+    }
+
+
 _BATCH_TOPK_SCHEMA = T.StructType(
     [
         T.StructField("query_id", T.IntegerType(), False),

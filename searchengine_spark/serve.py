@@ -1,0 +1,142 @@
+"""HTTP serving loop over a loaded SearchEngine — the reference Engine's
+long-lived server analog.
+
+Reference: ``Engine.Main`` starts an ``HttpListener``, hands each request
+context to a worker sink, parses ``query["query"]``, runs ``Search`` and
+renders results (SearchEngine Engine/Engine/Engine.cs:32-96). Here the
+same lifecycle is a stdlib ``ThreadingHTTPServer`` in front of
+``engine.SearchEngine`` (load once, serve many):
+
+    GET /search?q=words&k=10[&mode=wand|exhaustive|reference]
+        -> {"query": ..., "k": ..., "took_ms": ..., "results":
+            [{"doc_id": ..., "score": ...}, ...]}
+    GET /doc?id=123      -> the doc-store row (text + turn metadata)
+    GET /healthz         -> {"status": "ok", "n_docs": N}
+
+Spark's driver is single-process, so request handlers serialize their
+Spark actions through one session — matching the reference, where every
+request ultimately reads the same mmapped files. Production serving at
+cluster scale would front many driver replicas; this module is the
+single-node lifecycle (and the test surface for it).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from searchengine_spark.engine import SearchEngine
+
+_MODES = {"wand", "exhaustive", "reference"}
+
+
+def _json_bytes(obj) -> bytes:
+    return json.dumps(obj).encode("utf-8")
+
+
+def make_handler(engine: SearchEngine, lock: threading.Lock):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet test runs
+            pass
+
+        def _reply(self, code: int, obj) -> None:
+            body = _json_bytes(obj)
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self) -> None:  # noqa: N802 (stdlib API name)
+            url = urlparse(self.path)
+            qs = parse_qs(url.query)
+            try:
+                if url.path == "/healthz":
+                    self._reply(200, {"status": "ok",
+                                      "n_docs": engine.scalars.n_docs})
+                elif url.path == "/search":
+                    q = (qs.get("q") or qs.get("query") or [""])[0]
+                    k = int((qs.get("k") or ["10"])[0])
+                    mode = (qs.get("mode") or ["wand"])[0]
+                    if mode not in _MODES:
+                        self._reply(400, {"error": f"unknown mode {mode!r}"})
+                        return
+                    t0 = time.perf_counter()
+                    with lock:  # one Spark action at a time (driver JVM)
+                        rows = engine.search(q, k=k, mode=mode).collect()
+                    self._reply(200, {
+                        "query": q, "k": k, "mode": mode,
+                        "took_ms": round((time.perf_counter() - t0) * 1e3, 1),
+                        "results": [
+                            {"doc_id": int(r["doc_id"]),
+                             "score": float(r["score"])}
+                            for r in rows
+                        ],
+                    })
+                elif url.path == "/doc":
+                    doc_id = int((qs.get("id") or ["-1"])[0])
+                    with lock:
+                        rows = engine.fetch([doc_id]).collect()
+                    if not rows:
+                        self._reply(404, {"error": "not found"})
+                        return
+                    r = rows[0].asDict()
+                    self._reply(200, {
+                        k: (v if isinstance(v, (int, float, str, type(None)))
+                            else str(v))
+                        for k, v in r.items()
+                        if k in ("doc_id", "conv_id", "turn_idx", "role",
+                                 "ts", "text", "dl")
+                    })
+                else:
+                    self._reply(404, {"error": "unknown path"})
+            except Exception as e:  # surface errors as JSON, keep serving
+                self._reply(500, {"error": str(e)})
+
+    return Handler
+
+
+class EngineServer:
+    """Owns the HTTP listener thread; ``with EngineServer(engine) as srv:``
+    for tests, ``serve_forever()`` for a foreground server."""
+
+    def __init__(self, engine: SearchEngine, host: str = "127.0.0.1",
+                 port: int = 0):
+        self._lock = threading.Lock()
+        self.httpd = ThreadingHTTPServer(
+            (host, port), make_handler(engine, self._lock)
+        )
+        self.host, self.port = self.httpd.server_address[:2]
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "EngineServer":
+        self._thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+    def __enter__(self) -> "EngineServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+
+def serve(spark, index_dir: str, host: str = "0.0.0.0", port: int = 8080) -> None:
+    """Foreground entry: load the index and serve until interrupted."""
+    engine = SearchEngine.load(spark, index_dir)
+    srv = EngineServer(engine, host=host, port=port)
+    try:
+        srv.httpd.serve_forever()
+    except KeyboardInterrupt:
+        srv.stop()

@@ -182,3 +182,31 @@ def test_per_segment_group_resume(spark, small, tmp_path_factory):
     single = run_build(spark, small, str(tmp_path_factory.mktemp("sidx")),
                        num_doc_partitions=3, n_shards=4, layouts=("doc",))
     assert _tf_set(segments_to_tf(single.doc_segments)) == full
+
+
+def test_segment_group_plan_change_rebuilds(spark, small, tmp_path_factory):
+    """A re-run with a DIFFERENT group plan must not reuse stale g=* dirs
+    (wrong membership) nor union them into the read: the manifest records
+    (groups, n_shards) and a mismatch forces a clean rebuild; group dirs
+    outside the new plan are removed."""
+    out = str(tmp_path_factory.mktemp("pidx"))
+    idx = run_build(spark, small, out, num_doc_partitions=3, n_shards=4,
+                    layouts=("doc",), segment_groups=4)
+    full = _tf_set(segments_to_tf(idx.doc_segments))
+
+    idx2 = run_build(spark, small, out, num_doc_partitions=3, n_shards=4,
+                     layouts=("doc",), segment_groups=2)
+    # no stale g=2 / g=3 dirs may survive under the new 2-group plan
+    leftover = {os.path.basename(p)
+                for p in glob.glob(f"{out}/doc_segments.parquet/g=*")}
+    assert leftover == {"g=0", "g=1"}
+    assert _tf_set(segments_to_tf(idx2.doc_segments)) == full
+    last = [m for m in read_manifest(out)
+            if m["stage"] == "doc_segments" and m["status"] == "COMMITTED"][-1]
+    assert last["groups"] == 2 and last["n_shards"] == 4
+
+    # grouped -> ungrouped must also rebuild rather than reuse g=* layout
+    idx3 = run_build(spark, small, out, num_doc_partitions=3, n_shards=4,
+                     layouts=("doc",), segment_groups=1)
+    assert "g" not in idx3.doc_segments.columns
+    assert _tf_set(segments_to_tf(idx3.doc_segments)) == full

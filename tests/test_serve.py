@@ -1,0 +1,64 @@
+"""HTTP serving loop (serve.py) — the reference Engine's listener analog
+(Engine.cs:32-96): load once, serve /search + /doc + /healthz, JSON out.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from searchengine_spark.engine import SearchEngine
+from searchengine_spark.pipeline import run_build
+from searchengine_spark.serve import EngineServer
+
+
+@pytest.fixture(scope="module")
+def served(spark, small, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("srvidx"))
+    run_build(spark, small, out, num_doc_partitions=3, layouts=("doc",))
+    eng = SearchEngine.load(spark, out)
+    with EngineServer(eng) as srv:
+        yield eng, f"http://{srv.host}:{srv.port}"
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url, timeout=60) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_healthz(served):
+    eng, base = served
+    status, body = _get(f"{base}/healthz")
+    assert status == 200
+    assert body == {"status": "ok", "n_docs": eng.scalars.n_docs}
+
+
+def test_search_matches_engine_api(served):
+    eng, base = served
+    q = "babace badi"  # vocab words present in the synthetic corpus
+    status, body = _get(f"{base}/search?q={q.replace(' ', '+')}&k=5")
+    assert status == 200
+    assert body["mode"] == "wand" and body["k"] == 5
+    direct = [(int(r["doc_id"]), round(float(r["score"]), 9))
+              for r in eng.search(q, k=5).collect()]
+    via_http = [(r["doc_id"], round(r["score"], 9)) for r in body["results"]]
+    assert via_http == direct
+    assert body["took_ms"] >= 0
+
+
+def test_doc_fetch_and_404(served):
+    eng, base = served
+    status, body = _get(f"{base}/doc?id=0")
+    assert status == 200 and body["doc_id"] == 0 and "text" in body
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(f"{base}/doc?id=99999999")
+    assert ei.value.code == 404
+
+
+def test_bad_mode_is_400(served):
+    _, base = served
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(f"{base}/search?q=x&mode=bogus")
+    assert ei.value.code == 400
