@@ -55,6 +55,20 @@ def build_term_stats(tf_table: DataFrame) -> DataFrame:
     )
 
 
+def term_stats_from_segments(segments: DataFrame) -> DataFrame:
+    """Segment table -> term_stats(term, df, cf) WITHOUT re-reading the
+    postings: each segment row already carries (n = postings = df
+    contribution, cf = sum of tfs), so df/cf is a hash agg over
+    ~|vocab| x |shards or salts| small rows. Identical output to
+    ``build_term_stats`` on the decoded tf table (asserted by tests); at
+    scale this replaces a full pass over the corpus with an agg over the
+    (orders-of-magnitude smaller) index itself."""
+    return segments.groupBy("term").agg(
+        F.sum("n").cast("long").alias("df"),
+        F.sum("cf").alias("cf"),
+    )
+
+
 @dataclass(frozen=True)
 class CorpusScalars:
     n_docs: int          # N: total documents (turns), incl. empty ones

@@ -54,6 +54,11 @@ DOCS_PER_SHARD = 65_536      # default doc-range shard size (corpus-derived,
 
 _PAYLOAD_FIELDS = [
     T.StructField("n", T.IntegerType(), False),
+    # cf = sum(tf) within the segment: with n (= df contribution) it makes
+    # the segment table a sufficient statistic for term_stats, so the
+    # corpus df/cf aggregation runs over ~|vocab|x|shards| segment rows
+    # instead of a second full pass over the postings (pipeline.run_build)
+    T.StructField("cf", T.LongType(), False),
     T.StructField("doc_gaps", T.BinaryType(), False),
     T.StructField("tfs", T.BinaryType(), False),
     T.StructField("dls", T.BinaryType(), False),
@@ -182,6 +187,7 @@ def _encode_group_frame(pdf: pd.DataFrame, key_cols: list[str],
 
     core = bm25_core_np(tf, dl, avgdl)
     doc_i64 = doc.astype(np.int64)
+    cfs = np.add.reduceat(tf.astype(np.int64), starts)
     keys = [pdf[c].to_numpy() for c in key_cols]
 
     rows = []
@@ -193,6 +199,7 @@ def _encode_group_frame(pdf: pd.DataFrame, key_cols: list[str],
             {c: k[gi] for c, k in zip(key_cols, keys)}
             | {
                 "n": int(e - s),
+                "cf": int(cfs[gi]),
                 "doc_gaps": gap_blob[gap_off[s]:gap_off[e]],
                 "tfs": tf_blob[tf_off[s]:tf_off[e]],
                 "dls": dl_blob[dl_off[s]:dl_off[e]],

@@ -18,9 +18,18 @@ scale with executors while cache building contends on the driver JVM heap.
 Stage DAG (cf. SURVEY.md §3.2):
 
     transcripts ──ingest──► doc_map.parquet   (doc_id, meta, dl, terms, tfs)
-    doc_map ──stats───────► term_stats.parquet (term, df, cf) + scalars.json
-    doc_map ──doc_segments► doc_segments.parquet (WAND layout)
+                            + scalars.json (n_docs, sum_dl, avgdl — summed
+                              inside the ingest metrics job, no extra pass)
+    doc_map ──doc_segments► doc_segments.parquet (WAND layout; rows carry
+                            n + cf, a sufficient statistic for term stats)
+    doc_segments ──stats──► term_stats.parquet (term, df, cf) — agg over
+                            ~|vocab|x|shards| index rows, NOT the postings
     doc_map ──term_segments► term_segments.parquet (salted merge layout)
+
+At 100 TB the old order (full df/cf pass over the postings before any
+segment exists) costs an extra corpus-sized shuffle+agg; deriving stats
+from the compressed index makes the whole build exactly one pass over the
+text and one posting-sized shuffle.
 """
 
 from __future__ import annotations
@@ -33,7 +42,11 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from searchengine_spark.operators.forward import CorpusScalars, build_term_stats
+from searchengine_spark.operators.forward import (
+    CorpusScalars,
+    build_term_stats,
+    term_stats_from_segments,
+)
 from searchengine_spark.operators.ingest import tf_from_doc_map, tokenized_doc_map
 from searchengine_spark.operators.segments import (
     DEFAULT_DF_TARGET,
@@ -60,6 +73,16 @@ def _manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, MANIFEST)
 
 
+def _write_scalars(out_dir: str, sc: dict) -> None:
+    """Atomic scalars.json commit (temp + os.replace: a crash mid-write
+    must not leave truncated JSON that poisons every resume)."""
+    path = os.path.join(out_dir, "scalars.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(sc, f)
+    os.replace(tmp, path)
+
+
 def read_manifest(out_dir: str) -> list[dict]:
     p = _manifest_path(out_dir)
     if not os.path.exists(p):
@@ -79,7 +102,8 @@ def _append_manifest(out_dir: str, row: dict) -> None:
         f.write(json.dumps(row) + "\n")
 
 
-def _partition_metrics(df: DataFrame, weight_col: str | None = None) -> dict:
+def _partition_metrics(df: DataFrame, weight_col: str | None = None,
+                       weight_name: str = "postings") -> dict:
     """Rows (and optional weight sum) per physical partition in ONE job ->
     skew factor = max/mean. The reference has no skew visibility at all;
     its analog pain is a striped lock (Indexer/Program.cs:651-657)."""
@@ -99,7 +123,7 @@ def _partition_metrics(df: DataFrame, weight_col: str | None = None) -> dict:
         "skew_factor": round(mx / mean, 3) if mean else 1.0,
     }
     if weight_col is not None:
-        out["postings"] = int(sum(int(r["weight"] or 0) for r in rows))
+        out[weight_name] = int(sum(int(r["weight"] or 0) for r in rows))
     return out
 
 
@@ -150,31 +174,35 @@ def run_build(
     def ingest():
         dm = tokenized_doc_map(transcripts, num_partitions=num_doc_partitions)
         storage.write(dm, "doc_map")
-        return _partition_metrics(storage.read("doc_map"))
+        # the SAME partition-metrics job also sums dl -> (n_docs, sum_dl,
+        # avgdl) land in scalars.json with ZERO extra jobs (the old
+        # dedicated corpus-scalars agg pass is gone)
+        m = _partition_metrics(storage.read("doc_map"), weight_col="dl",
+                               weight_name="sum_dl")
+        sc = {
+            "n_docs": m["rows"],
+            "sum_dl": m["sum_dl"],
+            "avgdl": (m["sum_dl"] / m["rows"]) if m["rows"] else 0.0,
+        }
+        _write_scalars(out_dir, sc)
+        return m
 
     _stage(out_dir, "doc_map", ingest, force, storage)
     doc_map = storage.read("doc_map")
-
-    def stats():
-        tf = tf_from_doc_map(doc_map)
-        st = build_term_stats(tf)
-        storage.write(st, "term_stats")
+    scalars_path = os.path.join(out_dir, "scalars.json")
+    if not os.path.exists(scalars_path):
+        # resume fallback (doc_map committed by an older layout / crash
+        # between write and commit): one tiny agg job over doc_map
         row = doc_map.agg(
             F.count("*").alias("n"),
             F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),
         ).collect()[0]
-        sc = {
+        _write_scalars(out_dir, {
             "n_docs": int(row["n"]),
             "sum_dl": int(row["sum_dl"]),
             "avgdl": (int(row["sum_dl"]) / row["n"]) if row["n"] else 0.0,
-        }
-        with open(os.path.join(out_dir, "scalars.json"), "w") as f:
-            json.dump(sc, f)
-        return sc
-
-    _stage(out_dir, "term_stats", stats, force, storage)
-    term_stats = storage.read("term_stats")
-    with open(os.path.join(out_dir, "scalars.json")) as f:
+        })
+    with open(scalars_path) as f:
         s = json.load(f)
     scalars = CorpusScalars(n_docs=s["n_docs"], avgdl=s["avgdl"], sum_dl=s["sum_dl"])
     tf_table = tf_from_doc_map(doc_map)
@@ -184,7 +212,7 @@ def run_build(
         if segment_groups <= 1:
             def docseg():
                 segs = build_doc_segments(
-                    tf_table, term_stats, scalars.n_docs, scalars.avgdl,
+                    tf_table, None, scalars.n_docs, scalars.avgdl,
                     n_shards=n_shards,
                 )
                 storage.write(segs, "doc_segments", partition_by="shard")
@@ -249,7 +277,7 @@ def run_build(
                     % segment_groups == g
                 )
                 segs = build_doc_segments(
-                    tf_g, term_stats, scalars.n_docs, scalars.avgdl,
+                    tf_g, None, scalars.n_docs, scalars.avgdl,
                     n_shards=ns,
                 )
                 segs.write.mode("overwrite").partitionBy("shard").parquet(gpath)
@@ -283,6 +311,20 @@ def run_build(
                                          ).parquet(
             os.path.join(out_dir, "doc_segments.parquet")
         ).drop("g") if segment_groups > 1 else storage.read("doc_segments")
+
+    def stats():
+        if doc_segments is not None and "cf" in doc_segments.columns:
+            # segments are a sufficient statistic for df/cf (each row
+            # carries n + cf): agg over ~|vocab|x|shards| index rows, no
+            # second pass over the postings
+            st = term_stats_from_segments(doc_segments)
+        else:
+            st = build_term_stats(tf_from_doc_map(doc_map))
+        storage.write(st, "term_stats")
+        return {"rows": storage.read("term_stats").count()}
+
+    _stage(out_dir, "term_stats", stats, force, storage)
+    term_stats = storage.read("term_stats")
 
     if "term" in layouts:
         def termseg():

@@ -77,7 +77,8 @@ def test_pipeline_resume(spark, small, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("idx"))
     run_build(spark, small, out, num_doc_partitions=3, layouts=("doc", "term"))
     committed1 = _stage_names(out)
-    assert committed1 == ["doc_map", "term_stats", "doc_segments", "term_segments"]
+    # stats run AFTER doc segments (derived from the index, not the postings)
+    assert committed1 == ["doc_map", "doc_segments", "term_stats", "term_segments"]
     doc_map_mtime = os.path.getmtime(glob.glob(f"{out}/doc_map.parquet/*.parquet")[0])
 
     # Re-run: everything committed -> nothing re-executes, outputs untouched.
@@ -102,6 +103,8 @@ def test_pipeline_resume(spark, small, tmp_path_factory):
     assert os.path.getmtime(
         glob.glob(f"{out}/doc_map.parquet/*.parquet")[0]
     ) == doc_map_mtime
+    # manifest order is append order: kept rows (doc_map, term_stats) then
+    # the two rebuilt segment stages
     assert _stage_names(out) == ["doc_map", "term_stats",
                                  "doc_segments", "term_segments"]
     assert idx.doc_segments.count() > 0

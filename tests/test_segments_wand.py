@@ -262,3 +262,21 @@ def test_fused_ingest_equals_legacy_path(spark, small, index):
 
     legacy = explode_forward(build_forward(assign_doc_ids(small, num_partitions=3)))
     assert _tf_set(index.tf_table) == _tf_set(legacy)
+
+
+def test_term_stats_from_segments_equals_postings_agg(index):
+    """The segment rows' (n, cf) are a sufficient statistic: aggregating
+    them reproduces build_term_stats over the full tf table exactly, for
+    BOTH layouts (this is what lets the pipeline skip a second corpus
+    pass — pipeline.run_build stats stage)."""
+    from searchengine_spark.operators.forward import (
+        build_term_stats,
+        term_stats_from_segments,
+    )
+
+    want = {(r["term"], r["df"], r["cf"])
+            for r in build_term_stats(index.tf_table).collect()}
+    for segs in (index.doc_segments, index.term_segments):
+        got = {(r["term"], r["df"], r["cf"])
+               for r in term_stats_from_segments(segs).collect()}
+        assert got == want
