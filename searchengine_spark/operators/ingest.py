@@ -60,6 +60,7 @@ def tokenized_doc_map(
     keep_text: bool = True,
     start_id: int = 0,
     tokenizer: str = "jvm",
+    partition_counts: dict | None = None,
 ) -> DataFrame:
     """transcripts -> (doc_id, conv_id, turn_idx, role, tool, ts[, text],
     dl, tokens | terms+tfs) in one pass (see module docstring for the two
@@ -86,6 +87,11 @@ def tokenized_doc_map(
         .collect()
     )
     count_by_pid = {r["pid"]: r["count"] for r in counts}
+    if partition_counts is not None:
+        # expose the count job's per-partition rows: doc_map partitions map
+        # 1:1 onto ranged partitions, so callers (pipeline metrics) reuse
+        # them instead of paying a second scan of the written table
+        partition_counts.update(count_by_pid)
     offsets: dict[int, int] = {}
     acc = int(start_id)  # incremental batches continue the docID space
     for pid in range(num_partitions):
@@ -96,9 +102,11 @@ def tokenized_doc_map(
         # doc_id: partition offset + monotonically_increasing_id's local
         # counter (id = pid << 33 | local position, assigned in the
         # sorted in-partition row order) — no window, no extra shuffle.
-        omap = F.create_map(
-            *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
-        )
+        # Offsets ride as ONE array literal indexed by pid (a create_map
+        # would put 2 x num_partitions literal nodes in the plan — at
+        # cluster scale that's tens of thousands of nodes through every
+        # analyzer pass).
+        oarr = F.lit([offsets[p] for p in range(num_partitions)])
         mono = F.monotonically_increasing_id()
         pid = F.shiftright(mono, 33).cast("int")
         local = mono - F.shiftleft(pid.cast("long"), 33)
@@ -118,7 +126,8 @@ def tokenized_doc_map(
         )
         out = (
             ranged.select(
-                (omap[pid] + local).alias("doc_id"), *meta,
+                (F.element_at(oarr, pid + F.lit(1)) + local).alias("doc_id"),
+                *meta,
                 F.array_sort(toks).alias("_s"),
             )
             .withColumn(

@@ -62,6 +62,7 @@ def lsh_signatures(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """-> (id, sig:long): random-hyperplane signature, bit i = sign of
     dot(v, plane_i).
@@ -75,9 +76,13 @@ def lsh_signatures(
     """
     planes_t = np.ascontiguousarray(_planes(dim, n_planes, seed).T)  # (dim, n_planes)
     bitvals = (1 << np.arange(n_planes)).astype(np.int64)
-    schema = T.StructType(
-        [embeddings.schema[id_col], T.StructField("sig", T.LongType(), False)]
-    )
+    fields = [embeddings.schema[id_col], T.StructField("sig", T.LongType(), False)]
+    if keep_vec:
+        # (id, sig, vec) IS the ANN index — bucketed vectors, like an IVF
+        # posting file. Persist/write it once; queries then touch buckets
+        # only, never the raw corpus.
+        fields.append(embeddings.schema[vec_col])
+    schema = T.StructType(fields)
 
     def _sig(batches):
         for pdf in batches:
@@ -85,7 +90,10 @@ def lsh_signatures(
                 continue
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             sig = ((m @ planes_t) > 0).astype(np.int64) @ bitvals
-            yield pd.DataFrame({id_col: pdf[id_col], "sig": sig})
+            out = {id_col: pdf[id_col], "sig": sig}
+            if keep_vec:
+                out[vec_col] = pdf[vec_col]
+            yield pd.DataFrame(out)
 
     return embeddings.select(id_col, vec_col).mapInPandas(_sig, schema)
 
@@ -99,14 +107,20 @@ def ann_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: LSH band-bucket filter -> exact cosine re-rank.
 
     Bands of n_planes/n_bands bits; a vector is a candidate iff it matches
     the query signature in >=1 band. Recall tested vs brute force.
+
+    ``signatures``: a precomputed ``lsh_signatures`` table (the amortized
+    ANN index; pass ``keep_vec=True`` there so candidates carry their
+    vectors and the query never rescans the corpus).
     """
     dim = len(query_vec)
-    sigs = lsh_signatures(embeddings, dim, n_planes, seed, id_col, vec_col)
+    sigs = signatures if signatures is not None else lsh_signatures(
+        embeddings, dim, n_planes, seed, id_col, vec_col)
     planes = _planes(dim, n_planes, seed)
     qv = np.asarray(query_vec)
     qsig = 0
@@ -121,6 +135,11 @@ def ann_topk(
         qband = (qsig >> (b * bits_per_band)) & mask
         c = band == F.lit(qband)
         cond = c if cond is None else (cond | c)
+    if vec_col in sigs.columns:
+        # index carries the vectors: re-rank candidates directly, zero
+        # corpus rescans (the production query path)
+        return cosine_topk(sigs.filter(cond).select(id_col, vec_col),
+                           query_vec, k, id_col, vec_col)
     cands = sigs.filter(cond).select(id_col)
     return cosine_topk(
         embeddings.join(cands, id_col), query_vec, k, id_col, vec_col

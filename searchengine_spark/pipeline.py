@@ -171,24 +171,48 @@ def run_build(
     if storage is None:
         storage = Storage(spark, root=out_dir)
 
+    # schemas captured at write time let every post-stage read skip the
+    # parquet footer-inference job (one fewer driver-blocking job per
+    # stage transition); resumes of indexes written by other runs fall
+    # back to inference
+    schemas: dict = {}
+
     def ingest():
-        dm = tokenized_doc_map(transcripts, num_partitions=num_doc_partitions)
-        storage.write(dm, "doc_map")
-        # the SAME partition-metrics job also sums dl -> (n_docs, sum_dl,
-        # avgdl) land in scalars.json with ZERO extra jobs (the old
-        # dedicated corpus-scalars agg pass is gone)
-        m = _partition_metrics(storage.read("doc_map"), weight_col="dl",
-                               weight_name="sum_dl")
-        sc = {
-            "n_docs": m["rows"],
-            "sum_dl": m["sum_dl"],
-            "avgdl": (m["sum_dl"] / m["rows"]) if m["rows"] else 0.0,
+        from pyspark.sql import Observation
+
+        pcounts: dict = {}
+        dm = tokenized_doc_map(transcripts, num_partitions=num_doc_partitions,
+                               partition_counts=pcounts)
+        schemas["doc_map"] = dm.schema
+        # sum_dl rides the WRITE job as an Observation; per-partition rows
+        # come from the ingest count job (doc_map partitions are 1:1 with
+        # the ranged partitions) -> scalars + skew metrics with ZERO
+        # dedicated jobs (the old corpus-scalars pass and the doc_map
+        # metrics re-scan are both gone)
+        obs = Observation()
+        storage.write(
+            dm.observe(obs, F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl")),
+            "doc_map",
+        )
+        sum_dl = int(obs.get["sum_dl"])
+        counts = [int(c) for c in pcounts.values()] or [0]
+        n_docs, mx = sum(counts), max(counts)
+        mean = n_docs / len(counts) if counts else 0.0
+        _write_scalars(out_dir, {
+            "n_docs": n_docs,
+            "sum_dl": sum_dl,
+            "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
+        })
+        return {
+            "n_partitions": len(counts),
+            "rows": n_docs,
+            "max_partition_rows": mx,
+            "skew_factor": round(mx / mean, 3) if mean else 1.0,
+            "sum_dl": sum_dl,
         }
-        _write_scalars(out_dir, sc)
-        return m
 
     _stage(out_dir, "doc_map", ingest, force, storage)
-    doc_map = storage.read("doc_map")
+    doc_map = storage.read("doc_map", schema=schemas.get("doc_map"))
     scalars_path = os.path.join(out_dir, "scalars.json")
     if not os.path.exists(scalars_path):
         # resume fallback (doc_map committed by an older layout / crash
@@ -211,13 +235,44 @@ def run_build(
     if "doc" in layouts:
         if segment_groups <= 1:
             def docseg():
+                from pyspark.sql import Observation
+
                 segs = build_doc_segments(
                     tf_table, None, scalars.n_docs, scalars.avgdl,
                     n_shards=n_shards,
                 )
-                storage.write(segs, "doc_segments", partition_by="shard")
-                m = _partition_metrics(storage.read("doc_segments"),
-                                       weight_col="n")
+                schemas["doc_segments"] = segs.schema
+                # rows + postings ride the write as an Observation;
+                # per-shard rows come from the parquet footers (driver
+                # metadata read, no job) -> full partition metrics with
+                # ZERO dedicated jobs in parquet mode
+                obs = Observation()
+                storage.write(
+                    segs.observe(obs, F.count(F.lit(1)).alias("rows"),
+                                 F.coalesce(F.sum("n"), F.lit(0))
+                                 .alias("postings")),
+                    "doc_segments", partition_by="shard")
+                got = obs.get
+                frows = storage.file_rows("doc_segments")
+                if frows is None:  # catalog mode: distributed metrics scan
+                    m = _partition_metrics(
+                        storage.read("doc_segments",
+                                     schema=schemas.get("doc_segments")),
+                        weight_col="n")
+                else:
+                    per_shard: dict[str, int] = {}
+                    for rel, n in frows.items():
+                        shard = rel.split(os.sep)[0]
+                        per_shard[shard] = per_shard.get(shard, 0) + n
+                    counts = list(per_shard.values()) or [0]
+                    mx, mean = max(counts), sum(counts) / len(counts)
+                    m = {
+                        "n_partitions": len(counts),
+                        "rows": int(got["rows"]),
+                        "max_partition_rows": mx,
+                        "skew_factor": round(mx / mean, 3) if mean else 1.0,
+                        "postings": int(got["postings"]),
+                    }
                 return {**m, "groups": 1}
 
             # a previously committed GROUPED layout must not be reused as-is
@@ -310,9 +365,12 @@ def run_build(
                                                       "doc_segments.parquet")
                                          ).parquet(
             os.path.join(out_dir, "doc_segments.parquet")
-        ).drop("g") if segment_groups > 1 else storage.read("doc_segments")
+        ).drop("g") if segment_groups > 1 else storage.read(
+            "doc_segments", schema=schemas.get("doc_segments"))
 
     def stats():
+        from pyspark.sql import Observation
+
         if doc_segments is not None and "cf" in doc_segments.columns:
             # segments are a sufficient statistic for df/cf (each row
             # carries n + cf): agg over ~|vocab|x|shards| index rows, no
@@ -320,11 +378,14 @@ def run_build(
             st = term_stats_from_segments(doc_segments)
         else:
             st = build_term_stats(tf_from_doc_map(doc_map))
-        storage.write(st, "term_stats")
-        return {"rows": storage.read("term_stats").count()}
+        schemas["term_stats"] = st.schema
+        obs = Observation()
+        storage.write(st.observe(obs, F.count(F.lit(1)).alias("rows")),
+                      "term_stats")
+        return {"rows": int(obs.get["rows"])}
 
     _stage(out_dir, "term_stats", stats, force, storage)
-    term_stats = storage.read("term_stats")
+    term_stats = storage.read("term_stats", schema=schemas.get("term_stats"))
 
     if "term" in layouts:
         def termseg():

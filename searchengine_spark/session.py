@@ -50,6 +50,12 @@ def get_spark(
         .config("spark.driver.extraJavaOptions", "-XX:+AlwaysPreTouch")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # v2 commit: tasks move their own output files; the driver-side
+        # job commit is O(1) instead of a sequential rename per file.
+        # Stage atomicity lives in the build manifest (COMMITTED rows),
+        # not in the committer, so v2's weaker failure story is fine here.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+                "2")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

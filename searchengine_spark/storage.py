@@ -48,12 +48,37 @@ class Storage:
                 wr = wr.partitionBy(partition_by)
             wr.parquet(self._path(name))
 
-    def read(self, name: str) -> DataFrame:
+    def read(self, name: str, schema=None) -> DataFrame:
+        """``schema`` (when the caller already knows it, e.g. it just wrote
+        the table) skips the parquet footer-inference job — one fewer
+        driver-blocking job per stage transition."""
         if self.catalog:
             return self.spark.table(f"{self.catalog}.{name}")
-        return self.spark.read.parquet(self._path(name))
+        r = self.spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        return r.parquet(self._path(name))
 
     def exists(self, name: str) -> bool:
         if self.catalog:
             return self.spark.catalog.tableExists(f"{self.catalog}.{name}")
         return os.path.exists(self._path(name))
+
+    def file_rows(self, name: str) -> dict[str, int] | None:
+        """Per-file row counts from parquet footers — driver-side metadata
+        only, NO Spark job (footers are O(files), not O(rows)). Returns
+        None in catalog mode (callers fall back to a distributed scan;
+        Iceberg exposes the same numbers via its manifest tables)."""
+        if self.catalog:
+            return None
+        import pyarrow.parquet as pq
+
+        root = self._path(name)
+        out: dict[str, int] = {}
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    full = os.path.join(dirpath, fn)
+                    out[os.path.relpath(full, root)] = \
+                        pq.read_metadata(full).num_rows
+        return out

@@ -150,3 +150,20 @@ def test_ann_topk_agrees_with_brute_force_on_duplicates(spark):
     assert {0, 59} <= top_ids
     assert all(r["cos"] <= 1.0 for r in ann)
     assert [r["cos"] for r in ann] == sorted((r["cos"] for r in ann), reverse=True)
+
+
+def test_ann_topk_with_precomputed_index(spark):
+    """ann_topk over a persisted (id, sig, vec) signature index returns the
+    same rows as the build-on-the-fly path (the amortized production
+    query path never rescans the corpus)."""
+    from searchengine_spark.operators import similarity
+
+    df, _ = _emb_df(spark, 50, 16)
+    q = [float(x) for x in df.select("embedding").first()["embedding"]]
+    sigs = similarity.lsh_signatures(
+        df, dim=len(q), n_planes=16, seed=7, keep_vec=True).cache()
+    fresh = similarity.ann_topk(df, q, k=5, n_planes=16, n_bands=4,
+                                seed=7).collect()
+    indexed = similarity.ann_topk(df, q, k=5, n_planes=16, n_bands=4,
+                                  seed=7, signatures=sigs).collect()
+    assert [tuple(r) for r in fresh] == [tuple(r) for r in indexed]
