@@ -846,6 +846,27 @@ SELECT media_id, kind, n_bytes, dim_idx::BIGINT AS dim_idx,
 FROM m CROSS JOIN dims"""
 
 
+
+
+def q_windowed_counts(spark, sf_dir):
+    """Tumbling event-time window x event_type rollup over the events
+    table — the batch twin of the watermarked Structured Streaming
+    aggregation (streaming/windowed.py stream_windowed_counts; late-data
+    semantics asserted by test_stream_windowed_counts_watermark_semantics).
+    Window boundaries are epoch-aligned hours, so DuckDB date_trunc is an
+    exact oracle."""
+    from searchengine_spark.streaming.windowed import windowed_event_agg
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windowed_event_agg(events, window="1 hour")
+
+
+SQL_WINDOWED_COUNTS = """SELECT
+  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type, count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -890,6 +911,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_meta": q_payload_meta,
         "media_features": q_media_features,
         "media_decode": q_media_decode,
+        # streaming (batch twin of the watermarked windowed agg)
+        "windowed_counts": q_windowed_counts,
     }
 
 
@@ -928,4 +951,5 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "payload_meta": SQL_PAYLOAD_META,
         "media_features": SQL_MEDIA_FEATURES,
         "media_decode": SQL_MEDIA_DECODE,
+        "windowed_counts": SQL_WINDOWED_COUNTS,
     }

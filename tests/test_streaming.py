@@ -84,3 +84,77 @@ def test_incremental_idempotent_replay(spark, stream_dirs):
     q.awaitTermination(300)
     after = read_state(idx)
     assert after == before
+
+
+# ---------------------------------------------------------------------------
+# watermarked windowed aggregation (streaming/windowed.py)
+# ---------------------------------------------------------------------------
+
+def _ev_rows(spark, rows):
+    """rows = [(event_id, 'HH:MM', event_type, value)] on 2024-01-01."""
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (int(i), base.replace(hour=int(hm[:2]), minute=int(hm[3:])),
+         7, et, float(v), "{}")
+        for i, hm, et, v in rows
+    ]
+    from searchengine_spark.streaming.windowed import EVENT_SCHEMA
+    return spark.createDataFrame(data, EVENT_SCHEMA)
+
+
+def test_stream_windowed_counts_watermark_semantics(spark, tmp_path_factory):
+    """Append-mode windowed agg: (a) a window is emitted exactly once,
+    after the eviction watermark passes its end; (b) rows later than the
+    late-event watermark are DROPPED (Spark's late-filter watermark lags
+    the eviction watermark by one batch — SPARK-42376 — so the drop is
+    guaranteed for rows arriving >= 2 batches after the data that advanced
+    the watermark past them); (c) emitted aggregates equal the batch twin
+    over the admitted rows."""
+    import glob as g
+    import shutil
+    import time
+
+    from searchengine_spark.streaming.windowed import (
+        stream_windowed_counts,
+        windowed_event_agg,
+    )
+
+    inp = str(tmp_path_factory.mktemp("win_in"))
+    out = str(tmp_path_factory.mktemp("win_out"))
+    ckpt = str(tmp_path_factory.mktemp("win_ckpt"))
+
+    # file 1: hour-0 + hour-1 data; max ts 01:50 -> wm after batch0 = 01:20
+    b1 = [(0, "00:10", "click", 1.0), (1, "00:40", "view", 2.0),
+          (2, "01:50", "click", 4.0)]
+    # file 2: hour-2 row; during batch1 the eviction wm (01:20) closes and
+    # emits hour-0; wm after batch1 = 02:10 - 0:30 = 01:40
+    b2 = [(3, "02:10", "click", 8.0)]
+    # file 3: a LATE hour-0 row (00:30 < late-filter wm 01:20 => dropped)
+    # + an hour-3 row; eviction wm 03:00 - 0:30 = 02:30 closes hour-1
+    b3 = [(4, "00:30", "click", 100.0), (5, "03:00", "view", 16.0)]
+    for i, rows in enumerate((b1, b2, b3)):
+        _ev_rows(spark, rows).coalesce(1).write.parquet(f"{inp}/b{i}")
+        f = g.glob(f"{inp}/b{i}/*.parquet")[0]
+        shutil.move(f, f"{inp}/part{i}.parquet")
+        shutil.rmtree(f"{inp}/b{i}")
+        time.sleep(1.1)  # distinct mtimes: file source orders by mtime
+
+    q = stream_windowed_counts(spark, inp, out, ckpt,
+                               window="1 hour", watermark="30 minutes")
+    q.awaitTermination(300)
+
+    got = {(r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+           for r in spark.read.parquet(out).collect()}
+    # emitted: hour-0 (both types, WITHOUT the late 100.0) and hour-1;
+    # hours 2/3 remain open in state (never emitted before shutdown)
+    assert got == {
+        ("2024-01-01 00:00:00", "click"): (1, 1.0),
+        ("2024-01-01 00:00:00", "view"): (1, 2.0),
+        ("2024-01-01 01:00:00", "click"): (1, 4.0),
+    }
+    # batch twin agrees on the admitted rows of the emitted windows
+    admitted = _ev_rows(spark, b1)
+    twin = {(r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+            for r in windowed_event_agg(admitted).collect()}
+    assert twin == got
