@@ -585,141 +585,11 @@ def main() -> None:
     t_total0 = time.perf_counter()
     spark = _spark(CPUS, shuffle=int(CPUS))
     build = {}
-    if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
-        import shutil as _sh
-        import tempfile
-
-        from searchengine_spark.sources.synth import transcripts_spark
-
-        # Generate the scaling corpus ONCE (deterministic per-conv RNG,
-        # written by the unpinned parent session): every pinned run indexes
-        # the SAME parquet bytes, and generation cost/variance never
-        # touches the scaling wall.
-        corpus_dir = tempfile.mkdtemp(prefix="sgbench_corpus_", dir=BENCH_TMP)
-        corpus_path = os.path.join(corpus_dir, "transcripts.parquet")
-        transcripts_spark(spark, n_convs=SCALE_CONVS, partitions=64) \
-            .write.mode("overwrite").parquet(corpus_path)
-
-        # LOCKSTEP-CONCURRENT pairing: the two pinned servers run on
-        # DISJOINT cores and build AT THE SAME TIME — per round, the N-core
-        # server runs one build while the 4N-core server loops builds
-        # back-to-back; only 4N-builds fully inside the N-build's window
-        # count. Both levels therefore experience the identical host state
-        # (hypervisor-steal bursts, LLC/DRAM pressure from the same number
-        # of active cores) — on a quiet sequential measurement the N-core
-        # level gets an unfairly quiet machine (2 active cores keep most of
-        # the shared LLC; measured per-core probe rates differ ~1.5x),
-        # which no real cluster comparison has, since both cluster sizes
-        # run on identically-loaded nodes. Per-round efficiency =
-        # wall_N / (4 * median(overlapped wall_4N)); the headline is the
-        # median over rounds. Every wall is published.
-        import threading
-
-        n_lo, n_hi = SCALE_N
-        hi_start = max(8, n_lo)
-        runs: dict[int, list[dict]] = {n_lo: [], n_hi: []}
-        round_effs: list[float] = []
-        rounds_detail: list[dict] = []
-        try:
-            pyz = _pyfiles_zip() if SCALE_MODE == "cluster" else None
-            ranges = {n_lo: f"0-{n_lo - 1}",
-                      n_hi: f"{hi_start}-{hi_start + n_hi - 1}"}
-            servers = {}
-            for c in (n_lo, n_hi):  # sequential startup: warmups don't overlap
-                servers[c] = (_ClusterBuildServer(c, corpus_path, pyz,
-                                                  core_range=ranges[c])
-                              if SCALE_MODE == "cluster"
-                              else _BuildServer(c, corpus_path,
-                                                core_range=ranges[c]))
-                servers[c].wait_ready()
-            # concurrent warm rounds (JIT/codegen; recorded, not scored)
-            for _ in range(2):
-                res: dict = {}
-                ths = [threading.Thread(
-                    target=lambda c=c: res.__setitem__(c, servers[c].build()))
-                    for c in (n_lo, n_hi)]
-                [t.start() for t in ths]
-                [t.join() for t in ths]
-                for c in (n_lo, n_hi):
-                    runs[c].append(res[c])
-            for rnd in range(SCALE_ROUNDS):
-                if rnd > 2 and time.perf_counter() - t_total0 > SCALE_BUDGET_S:
-                    break
-                lo_res: dict = {}
-                done = threading.Event()
-
-                def run_lo():
-                    lo_res["r"] = servers[n_lo].build()
-                    done.set()
-
-                th = threading.Thread(target=run_lo)
-                th.start()
-                hi_walls: list[dict] = []
-                while not done.is_set():
-                    hi_walls.append(servers[n_hi].build())
-                th.join()
-                runs[n_lo].append(lo_res["r"])
-                runs[n_hi].extend(hi_walls)
-                # builds that FINISHED before the lo build did are fully
-                # inside its window; the trailing one ran partly after
-                over = [r["build_sec"] for r in hi_walls[:-1]] or \
-                       [r["build_sec"] for r in hi_walls]
-                so = sorted(over)
-                over_med = (so[(len(so) - 1) // 2] if len(so) % 2
-                            else (so[len(so) // 2 - 1] + so[len(so) // 2]) / 2)
-                w_lo = lo_res["r"]["build_sec"]
-                eff = w_lo / ((n_hi / n_lo) * over_med)
-                round_effs.append(round(eff, 3))
-                rounds_detail.append({
-                    f"wall_{n_lo}": w_lo,
-                    f"overlapped_walls_{n_hi}": [r["build_sec"]
-                                                 for r in hi_walls],
-                    "eff": round(eff, 3),
-                })
-            for s in servers.values():
-                s.quit()
-        finally:
-            _sh.rmtree(corpus_dir, ignore_errors=True)
-        lo = max(runs[n_lo], key=lambda r: r["turns_per_sec"])
-        hi = max(runs[n_hi], key=lambda r: r["turns_per_sec"])
-        se = sorted(round_effs)
-        med = (se[(len(se) - 1) // 2] if len(se) % 2
-               else round((se[len(se) // 2 - 1] + se[len(se) // 2]) / 2, 3))
-        hashes = {r["index_hash"] for rs in runs.values() for r in rs}
-        build = {
-            "turns": hi["turns"],
-            "rounds": len(round_effs),
-            # "cluster" = real standalone cluster, n single-core executor
-            # JVMs via spark-submit --py-files; "local" = pinned local[n]
-            "scale_mode": SCALE_MODE,
-            "method": ("lockstep-concurrent disjoint-core pairing; "
-                       "eff = wall_N / 4*median(fully-overlapped wall_4N)"),
-            "index_identical_across_widths": len(hashes) == 1,
-            "index_hash": sorted(hashes),
-            # quiet-floor throughputs (best build ever seen per level)
-            f"turns_per_sec_local{n_lo}": lo["turns_per_sec"],
-            f"turns_per_sec_local{n_hi}": hi["turns_per_sec"],
-            f"build_sec_local{n_lo}": lo["build_sec"],
-            f"build_sec_local{n_hi}": hi["build_sec"],
-            f"scaling_efficiency_{n_lo}_to_{n_hi}": med,
-            "scaling_efficiency_median_of_pairs": med,
-            "scaling_efficiency_per_pair": round_effs,
-            "rounds_detail": rounds_detail,
-            # floor-based sequential estimator for reference (biased AGAINST
-            # the wide level on this box: the narrow level's quiet-machine
-            # builds keep most of the shared LLC)
-            "scaling_efficiency_seq_floors": round(
-                hi["turns_per_sec"] / ((n_hi / n_lo) * lo["turns_per_sec"]), 3),
-            "all_runs": {f"local{c}": [r["turns_per_sec"] for r in rs]
-                         for c, rs in runs.items()},
-            "all_build_sec": {f"local{c}": [r["build_sec"] for r in rs]
-                              for c, rs in runs.items()},
-            # per-stage wall decomposition of the best run per level: shows
-            # where the 4x went (no hidden serial work outside stages)
-            "stage_decomposition": {f"local{n_lo}": lo.get("stages", {}),
-                                    f"local{n_hi}": hi.get("stages", {})},
-            "segment_skew_factor": hi.get("segment_skew_factor"),
-        }
+    try:
+        if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
+            build = _scaling_bench(spark, t_total0)
+    except Exception as e:  # a dead server must not cost the whole record
+        build = {"error": f"{type(e).__name__}: {e}", **build}
 
     timings, extra = query_bench(spark)
     spark.stop()
@@ -735,6 +605,144 @@ def main() -> None:
         "build": build,
         **extra,
     }))
+
+
+def _scaling_bench(spark, t_total0: float) -> dict:
+    import shutil as _sh
+    import tempfile
+
+    from searchengine_spark.sources.synth import transcripts_spark
+
+    # Generate the scaling corpus ONCE (deterministic per-conv RNG,
+    # written by the unpinned parent session): every pinned run indexes
+    # the SAME parquet bytes, and generation cost/variance never
+    # touches the scaling wall.
+    corpus_dir = tempfile.mkdtemp(prefix="sgbench_corpus_", dir=BENCH_TMP)
+    corpus_path = os.path.join(corpus_dir, "transcripts.parquet")
+    transcripts_spark(spark, n_convs=SCALE_CONVS, partitions=64) \
+        .write.mode("overwrite").parquet(corpus_path)
+
+    # LOCKSTEP-CONCURRENT pairing: the two pinned servers run on
+    # DISJOINT cores and build AT THE SAME TIME — per round, the N-core
+    # server runs one build while the 4N-core server loops builds
+    # back-to-back; only 4N-builds fully inside the N-build's window
+    # count. Both levels therefore experience the identical host state
+    # (hypervisor-steal bursts, LLC/DRAM pressure from the same number
+    # of active cores) — on a quiet sequential measurement the N-core
+    # level gets an unfairly quiet machine (2 active cores keep most of
+    # the shared LLC; measured per-core probe rates differ ~1.5x),
+    # which no real cluster comparison has, since both cluster sizes
+    # run on identically-loaded nodes. Per-round efficiency =
+    # wall_N / (4 * median(overlapped wall_4N)); the headline is the
+    # median over rounds. Every wall is published.
+    import threading
+
+    n_lo, n_hi = SCALE_N
+    hi_start = max(8, n_lo)
+    runs: dict[int, list[dict]] = {n_lo: [], n_hi: []}
+    round_effs: list[float] = []
+    rounds_detail: list[dict] = []
+    servers: dict = {}
+    try:
+        pyz = _pyfiles_zip() if SCALE_MODE == "cluster" else None
+        ranges = {n_lo: f"0-{n_lo - 1}",
+                  n_hi: f"{hi_start}-{hi_start + n_hi - 1}"}
+        for c in (n_lo, n_hi):  # sequential startup: warmups don't overlap
+            servers[c] = (_ClusterBuildServer(c, corpus_path, pyz,
+                                              core_range=ranges[c])
+                          if SCALE_MODE == "cluster"
+                          else _BuildServer(c, corpus_path,
+                                            core_range=ranges[c]))
+            servers[c].wait_ready()
+        # concurrent warm rounds (JIT/codegen; recorded, not scored)
+        for _ in range(2):
+            res: dict = {}
+            ths = [threading.Thread(
+                target=lambda c=c: res.__setitem__(c, servers[c].build()))
+                for c in (n_lo, n_hi)]
+            [t.start() for t in ths]
+            [t.join() for t in ths]
+            for c in (n_lo, n_hi):
+                runs[c].append(res[c])
+        for rnd in range(SCALE_ROUNDS):
+            if rnd > 2 and time.perf_counter() - t_total0 > SCALE_BUDGET_S:
+                break
+            lo_res: dict = {}
+            done = threading.Event()
+
+            def run_lo():
+                lo_res["r"] = servers[n_lo].build()
+                done.set()
+
+            th = threading.Thread(target=run_lo)
+            th.start()
+            hi_walls: list[dict] = []
+            while not done.is_set():
+                hi_walls.append(servers[n_hi].build())
+            th.join()
+            runs[n_lo].append(lo_res["r"])
+            runs[n_hi].extend(hi_walls)
+            # builds that FINISHED before the lo build did are fully
+            # inside its window; the trailing one ran partly after
+            over = [r["build_sec"] for r in hi_walls[:-1]] or \
+                   [r["build_sec"] for r in hi_walls]
+            so = sorted(over)
+            over_med = (so[(len(so) - 1) // 2] if len(so) % 2
+                        else (so[len(so) // 2 - 1] + so[len(so) // 2]) / 2)
+            w_lo = lo_res["r"]["build_sec"]
+            eff = w_lo / ((n_hi / n_lo) * over_med)
+            round_effs.append(round(eff, 3))
+            rounds_detail.append({
+                f"wall_{n_lo}": w_lo,
+                f"overlapped_walls_{n_hi}": [r["build_sec"]
+                                             for r in hi_walls],
+                "eff": round(eff, 3),
+            })
+    finally:
+        for s in servers.values():
+            s.quit()
+        _sh.rmtree(corpus_dir, ignore_errors=True)
+    lo = max(runs[n_lo], key=lambda r: r["turns_per_sec"])
+    hi = max(runs[n_hi], key=lambda r: r["turns_per_sec"])
+    se = sorted(round_effs)
+    med = (se[(len(se) - 1) // 2] if len(se) % 2
+           else round((se[len(se) // 2 - 1] + se[len(se) // 2]) / 2, 3))
+    hashes = {r["index_hash"] for rs in runs.values() for r in rs}
+    build = {
+        "turns": hi["turns"],
+        "rounds": len(round_effs),
+        # "cluster" = real standalone cluster, n single-core executor
+        # JVMs via spark-submit --py-files; "local" = pinned local[n]
+        "scale_mode": SCALE_MODE,
+        "method": ("lockstep-concurrent disjoint-core pairing; "
+                   "eff = wall_N / 4*median(fully-overlapped wall_4N)"),
+        "index_identical_across_widths": len(hashes) == 1,
+        "index_hash": sorted(hashes),
+        # quiet-floor throughputs (best build ever seen per level)
+        f"turns_per_sec_local{n_lo}": lo["turns_per_sec"],
+        f"turns_per_sec_local{n_hi}": hi["turns_per_sec"],
+        f"build_sec_local{n_lo}": lo["build_sec"],
+        f"build_sec_local{n_hi}": hi["build_sec"],
+        f"scaling_efficiency_{n_lo}_to_{n_hi}": med,
+        "scaling_efficiency_median_of_pairs": med,
+        "scaling_efficiency_per_pair": round_effs,
+        "rounds_detail": rounds_detail,
+        # floor-based sequential estimator for reference (biased AGAINST
+        # the wide level on this box: the narrow level's quiet-machine
+        # builds keep most of the shared LLC)
+        "scaling_efficiency_seq_floors": round(
+            hi["turns_per_sec"] / ((n_hi / n_lo) * lo["turns_per_sec"]), 3),
+        "all_runs": {f"local{c}": [r["turns_per_sec"] for r in rs]
+                     for c, rs in runs.items()},
+        "all_build_sec": {f"local{c}": [r["build_sec"] for r in rs]
+                          for c, rs in runs.items()},
+        # per-stage wall decomposition of the best run per level: shows
+        # where the 4x went (no hidden serial work outside stages)
+        "stage_decomposition": {f"local{n_lo}": lo.get("stages", {}),
+                                f"local{n_hi}": hi.get("stages", {})},
+        "segment_skew_factor": hi.get("segment_skew_factor"),
+    }
+    return build
 
 
 if __name__ == "__main__":
