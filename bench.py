@@ -496,12 +496,20 @@ def query_bench(spark) -> tuple[dict, dict]:
     timed("wand_topk_rare", lambda: wand_topk(
         idx.doc_segments, rare_q, idx.term_stats, idx.scalars.n_docs,
         idx.scalars.avgdl, k=TOPK).collect())
-    # block-max pruning effectiveness counters (recorded, not timed)
+    # block-max pruning effectiveness counters (recorded, not timed):
+    # hot-terms query (pruning mostly from the heap threshold) AND a
+    # hot+rare mix (the rare term's idf lifts theta fast — the case
+    # block-max exists for, Ding & Suel 2011)
     from searchengine_spark.operators.wand import wand_pruning_stats
 
-    wand_stats = wand_pruning_stats(
-        idx.doc_segments, single_q, idx.term_stats, idx.scalars.n_docs,
-        idx.scalars.avgdl, k=TOPK)
+    wand_stats = {
+        "hot": wand_pruning_stats(
+            idx.doc_segments, single_q, idx.term_stats, idx.scalars.n_docs,
+            idx.scalars.avgdl, k=TOPK),
+        "hot_rare_mix": wand_pruning_stats(
+            idx.doc_segments, f"{top_terms[0]} {top_terms[-1]}",
+            idx.term_stats, idx.scalars.n_docs, idx.scalars.avgdl, k=TOPK),
+    }
 
     qpdf = queries_pdf(N_BATCH_QUERIES)
     # remap synthetic queries onto corpus vocabulary so they hit postings

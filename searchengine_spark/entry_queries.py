@@ -637,11 +637,15 @@ _COS_PAIR_THRESHOLD = 0.40
 
 def q_embedding_dup_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs: LSH-banded candidates + exact
-    cosine verify (the embedding member of the dedup family)."""
+    cosine verify (the embedding member of the dedup family). Output cos
+    re-rounded to 5 decimals: a 64-term float64 dot product summed in
+    different orders (Spark vs DuckDB) can land on opposite sides of a
+    6th-decimal rounding boundary (observed once at sf0.1)."""
     emb = _load(spark, sf_dir, "embeddings")
-    return similarity.cosine_pairs(
+    pairs = similarity.cosine_pairs(
         emb, threshold=_COS_PAIR_THRESHOLD, n_planes=16, n_bands=4, seed=42
     )
+    return pairs.select("id_a", "id_b", F.round("cos", 5).alias("cos"))
 
 
 def _embedding_dup_pairs_sql(sf_dir: str) -> str:
@@ -676,7 +680,8 @@ pairs AS (
   FROM cand c JOIN embeddings ea ON ea.vec_id = c.id_a
               JOIN embeddings eb ON eb.vec_id = c.id_b
 )
-SELECT id_a, id_b, cos FROM pairs WHERE cos >= {_COS_PAIR_THRESHOLD}"""
+SELECT id_a, id_b, round(cos, 5) AS cos FROM pairs
+WHERE cos >= {_COS_PAIR_THRESHOLD}"""
 
 
 # ---------------------------------------------------------------------------

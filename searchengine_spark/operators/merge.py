@@ -33,12 +33,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from searchengine_spark.functions.codec import varint_decode
 from searchengine_spark.operators.segments import (
     DEFAULT_DF_TARGET,
     TERM_SEGMENT_SCHEMA,
     _encode_group_frame,
-    decode_postings,
+    decode_payload,
 )
 
 _MERGE_IN_EXTRA = T.StructField("doc_offset", T.LongType(), False)
@@ -117,8 +116,7 @@ def _merge_frame(pdf: pd.DataFrame, avgdl: float, df_target: int) -> pd.DataFram
         docs, tfs, dls = [], [], []
         for i in range(s, e):
             row = pdf.iloc[i]
-            d, t = decode_postings(row["doc_gaps"], row["tfs"])
-            l = varint_decode(row["dls"])
+            d, t, l = decode_payload(row)  # codec-aware (varint | pack128)
             docs.append(d.astype(np.int64) + int(row["doc_offset"]))
             tfs.append(t.astype(np.int64))
             dls.append(l.astype(np.int64))

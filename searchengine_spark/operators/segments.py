@@ -38,7 +38,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from searchengine_spark.functions.codec import (
+    CODECS,
+    PACK_BLOCK,
     decode_postings,
+    delta_decode,
+    pack128_encode,
     varint_decode,
     varint_encode_with_offsets,
 )
@@ -59,6 +63,11 @@ _PAYLOAD_FIELDS = [
     # corpus df/cf aggregation runs over ~|vocab|x|shards| segment rows
     # instead of a second full pass over the postings (pipeline.run_build)
     T.StructField("cf", T.LongType(), False),
+    # per-row payload codec: "varint" (short lists — shared-blob LEB128)
+    # or "pack128" (lists >= 128 postings — frame-of-reference binary
+    # packing, the PForDelta family; see functions/codec.py). The same
+    # short-tail-vInt / full-block-FOR split Lucene uses.
+    T.StructField("codec", T.StringType(), False),
     T.StructField("doc_gaps", T.BinaryType(), False),
     T.StructField("tfs", T.BinaryType(), False),
     T.StructField("dls", T.BinaryType(), False),
@@ -195,14 +204,25 @@ def _encode_group_frame(pdf: pd.DataFrame, key_cols: list[str],
         blk = np.arange(s, e, BLOCK)
         last = doc_i64[np.minimum(blk + (BLOCK - 1), e - 1)]
         bmax = np.maximum.reduceat(core[s:e], blk - s)
+        if e - s >= PACK_BLOCK:
+            # long list: frame-of-reference 128-block packing (smaller,
+            # and encodes faster than per-byte varint at this length)
+            enc = ("pack128", pack128_encode(gaps[s:e]),
+                   pack128_encode(tf[s:e]), pack128_encode(dl[s:e]))
+        else:
+            # short tail: slice the shared varint blobs (one vectorized
+            # encode pass amortized over ALL short groups in the batch)
+            enc = ("varint", gap_blob[gap_off[s]:gap_off[e]],
+                   tf_blob[tf_off[s]:tf_off[e]], dl_blob[dl_off[s]:dl_off[e]])
         rows.append(
             {c: k[gi] for c, k in zip(key_cols, keys)}
             | {
                 "n": int(e - s),
                 "cf": int(cfs[gi]),
-                "doc_gaps": gap_blob[gap_off[s]:gap_off[e]],
-                "tfs": tf_blob[tf_off[s]:tf_off[e]],
-                "dls": dl_blob[dl_off[s]:dl_off[e]],
+                "codec": enc[0],
+                "doc_gaps": enc[1],
+                "tfs": enc[2],
+                "dls": enc[3],
                 "block_last_doc": last.tolist(),
                 "block_max_core": bmax.tolist(),
             }
@@ -296,10 +316,14 @@ def build_doc_segments(
 # ---------------------------------------------------------------------------
 
 def decode_payload(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Segment row -> (doc_ids, tfs, dls) numpy arrays."""
-    doc_ids, tfs = decode_postings(row.doc_gaps, row.tfs)
-    dls = varint_decode(row.dls)
-    return doc_ids, tfs, dls
+    """Segment row -> (doc_ids, tfs, dls) numpy arrays. Routes on the
+    row's ``codec`` column ("varint" assumed for legacy rows)."""
+    codec = getattr(row, "codec", None) or "varint"
+    if codec == "varint":
+        doc_ids, tfs = decode_postings(row.doc_gaps, row.tfs)
+        return doc_ids, tfs, varint_decode(row.dls)
+    dec = CODECS[codec][1]
+    return delta_decode(dec(row.doc_gaps)), dec(row.tfs), dec(row.dls)
 
 
 def segments_to_tf(segments: DataFrame) -> DataFrame:
