@@ -511,6 +511,39 @@ def query_bench(spark) -> tuple[dict, dict]:
             idx.term_stats, idx.scalars.n_docs, idx.scalars.avgdl, k=TOPK),
     }
 
+    # salting / skew evidence (north rule: "skew handled explicitly").
+    # The synthetic corpus is Zipfian, so the hottest term lands in nearly
+    # every doc; build the salted term-layout segments with a df_target
+    # small enough to ACTIVATE salting at this sf (the production default,
+    # 100k postings/row, would leave this corpus unsalted) and record that
+    # no (term, salt) row — i.e. no merge/encode task's group — exceeds the
+    # target, while the hottest term's raw df is far above it. That is the
+    # max-task bound salting exists to hold.
+    from searchengine_spark.operators.segments import build_term_segments
+
+    skew_df_target = int(os.environ.get("SPARK_GRAFT_BENCH_DF_TARGET", "0")) \
+        or max(100, min(2000, n_docs_corpus // 3))
+    tseg = build_term_segments(
+        idx.tf_table, idx.term_stats, idx.scalars.n_docs, idx.scalars.avgdl,
+        df_target=skew_df_target)
+    srow = timed("term_index_build_salted", lambda: tseg.agg(
+        F.max("n").alias("max_row"), F.count("*").alias("rows"),
+        F.count_distinct("term").alias("terms"),
+        F.sum(F.when(F.col("salt") > 0, 1).otherwise(0)).alias("salted_rows"),
+    ).collect()[0])
+    hottest_df = idx.term_stats.agg(F.max("df")).collect()[0][0]
+    docseg_max = idx.doc_segments.agg(F.max("n")).collect()[0][0]
+    skew_stats = {
+        "df_target": skew_df_target,
+        "hottest_term_df": int(hottest_df),
+        "max_term_row_postings": int(srow["max_row"]),
+        "salted_rows": int(srow["salted_rows"]),
+        "term_rows": int(srow["rows"]),
+        "terms": int(srow["terms"]),
+        "bound_held": bool(int(srow["max_row"]) <= skew_df_target),
+        "doc_layout_max_row_postings": int(docseg_max),
+    }
+
     qpdf = queries_pdf(N_BATCH_QUERIES)
     # remap synthetic queries onto corpus vocabulary so they hit postings
     import numpy as np
@@ -547,7 +580,8 @@ def query_bench(spark) -> tuple[dict, dict]:
     sigs.unpersist()
 
     docs.unpersist()
-    return timings, {"corpus_docs": n_docs_corpus, "wand_pruning": wand_stats}
+    return timings, {"corpus_docs": n_docs_corpus, "wand_pruning": wand_stats,
+                     "skew": skew_stats}
 
 
 def _materialized_index(docs):

@@ -582,6 +582,31 @@ c AS (
 SELECT vec_id, round(cos, 6) AS cos FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10"""
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF-Flat ANN (k-means coarse quantizer -> probe nearest lists ->
+    exact re-rank). Probing ALL lists is exactly brute-force cosine top-k,
+    which is what the SQL oracle checks — so the gate exercises the real
+    quantizer-train + assign + probe plumbing against an exact expected
+    answer; recall at nprobe < n_centroids is pinned by pytest
+    (test_ivf_recall_*). Query = embeddings[vec_id=1] (cosine_topk uses 0)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 1).select("embedding").first()
+    q = [float(x) for x in row["embedding"]]
+    return similarity.ivf_topk(emb, q, k=10, n_centroids=16, nprobe=16)
+
+
+SQL_IVF_TOPK = """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1),
+c AS (
+  SELECT vec_id,
+    list_sum(list_transform(range(1, len(embedding) + 1),
+             i -> embedding[i]::DOUBLE * qe[i]::DOUBLE))
+    / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+       * sqrt(list_sum(list_transform(qe, x -> x::DOUBLE * x::DOUBLE)))) AS cos
+  FROM embeddings CROSS JOIN q
+)
+SELECT vec_id, round(cos, 6) AS cos FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10"""
+
+
 def q_ann_topk(spark, sf_dir):
     emb = _load(spark, sf_dir, "embeddings")
     return similarity.ann_topk(
@@ -757,7 +782,7 @@ SELECT d.doc_id,
   length(coalesce(d.text, ''))::BIGINT AS n_chars,
   len(list_filter(regexp_split_to_array(coalesce(d.text, ''), '\\s+'), x -> x <> ''))::BIGINT AS n_ws_tokens,
   coalesce(len(t.t), 0)::BIGINT AS n_alpha_tokens,
-  len(regexp_extract_all(coalesce(d.text, ''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))::BIGINT AS n_bpeish_tokens
+  len(regexp_extract_all(coalesce(d.text, ''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))::BIGINT AS n_bpeish_tokens
 FROM documents d JOIN tokd t ON d.doc_id = t.doc_id"""
 
 
@@ -906,6 +931,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity
         "cosine_topk": q_cosine_topk,
         "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         # text analysis
         "lang_id": q_lang_id,
@@ -948,6 +974,7 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "simhash_pairs": SQL_SIMHASH_PAIRS,
         "cosine_topk": SQL_COSINE_TOPK,
         "ann_topk": _ann_topk_sql(sf_dir),
+        "ivf_topk": SQL_IVF_TOPK,
         "embedding_dup_pairs": _embedding_dup_pairs_sql(sf_dir),
         "lang_id": SQL_LANG_ID,
         "quality_score": SQL_QUALITY,

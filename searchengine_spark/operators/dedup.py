@@ -18,8 +18,10 @@ candidates at scale (``jaccard_of_candidates``).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from searchengine_spark.functions.hashing import (
     MERSENNE_P,
@@ -248,9 +250,62 @@ def minhash_dedup_pairs(
 
 # -- SimHash ------------------------------------------------------------------
 
-def simhash32(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+@F.pandas_udf(T.LongType())
+def _simhash32_udf(texts: pd.Series) -> pd.Series:
+    """text -> 32-bit SimHash (null if the doc admits no tokens).
+
+    One Arrow batch in, one numpy accumulation per doc: tokenize, h32 each
+    distinct term (memoized across the batch — term sets repeat heavily),
+    weighted per-bit majority. Identical semantics to ``simhash32_agg``
+    (asserted by test_simhash_map_equals_agg)."""
+    import numpy as np
+    import pandas as pd
+
+    from searchengine_spark.functions.hashing import h32_py
+    from searchengine_spark.functions.tokenize import term_counts_py
+
+    cache: dict[str, int] = {}
+    bitpos = np.arange(32, dtype=np.uint32)
+    bitval = np.uint64(1) << bitpos.astype(np.uint64)
+    out = []
+    for t in texts:
+        counts = term_counts_py(t)
+        if not counts:
+            out.append(None)
+            continue
+        hs = np.empty(len(counts), dtype=np.uint32)
+        tfs = np.empty(len(counts), dtype=np.int64)
+        for j, (w, c) in enumerate(counts.items()):
+            h = cache.get(w)
+            if h is None:
+                h = cache[w] = h32_py(w)
+            hs[j] = h
+            tfs[j] = c
+        bits = ((hs[:, None] >> bitpos) & np.uint32(1)).astype(np.int64)
+        s = (tfs[:, None] * (2 * bits - 1)).sum(axis=0)
+        out.append(int(((s > 0) * bitval).sum()))
+    return pd.Series(out, dtype="object")
+
+
+def simhash32(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
     """-> (id, simhash:long): 32-bit SimHash over term h32 hashes weighted
     by tf. Bit b set iff sum over terms of tf * (2*bit_b(h)-1) > 0.
+
+    SimHash is row-local (a pure function of one doc's term counts), so
+    this is a ZERO-shuffle map — one Arrow pass over text. Docs admitting
+    no tokens are dropped (parity with the agg/oracle path, which never
+    emits a row for them)."""
+    return docs.select(
+        id_col, _simhash32_udf(F.col(text_col)).alias("simhash")
+    ).filter(F.col("simhash").isNotNull())
+
+
+def simhash32_agg(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Shuffle-based cross-check path for :func:`simhash32` (the map
+    implementation is the hot path — this one 32x-explodes (term, tf) rows
+    into a groupBy(id, bit) and exists to pin the semantics from a second,
+    independent direction).
 
     Pure column arithmetic: explode (term, tf), cross with 32 bit positions
     via an inline array, hash-agg per (id, bit), then bit-OR reassembly.

@@ -146,6 +146,119 @@ def ann_topk(
     )
 
 
+# -- IVF (inverted-file) ANN --------------------------------------------------
+#
+# The second standard ANN shape next to plane-LSH: a coarse k-means
+# quantizer partitions vectors into n_centroids inverted lists; a query
+# probes only the nprobe nearest lists and exact-re-ranks inside them
+# (the FAISS IVF-Flat recipe, Johnson et al. 2017 — public method). At
+# corpus scale the quantizer is trained on a BOUNDED sample (driver-side
+# numpy Lloyd iterations on a few thousand vectors), the centroid matrix
+# is tiny and broadcast by closure, and assignment is one Arrow matmul
+# per batch — the same O(1)-plan-size discipline as lsh_signatures.
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    sample: int = 4096,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train the coarse quantizer -> unit-norm (n_centroids, dim) matrix.
+
+    Deterministic: the sample is the ``sample`` lowest ids (a
+    TakeOrdered, never a full sort), init is the first n_centroids sample
+    rows, and Lloyd assignment breaks ties by lowest centroid index.
+    Spherical k-means (normalize, assign by max dot) so assignment and
+    query probing agree with cosine ranking."""
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col).limit(sample).collect()
+    )
+    m = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    cent = m[:n_centroids].copy()
+    for _ in range(iters):
+        assign = (m @ cent.T).argmax(axis=1)
+        for c in range(n_centroids):
+            members = m[assign == c]
+            if len(members):  # empty list keeps its old centroid
+                cent[c] = members.sum(axis=0)
+        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    return cent
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_vec: bool = True,
+) -> DataFrame:
+    """-> (id, list_id[, vec]): the IVF index table. One matmul per Arrow
+    batch against the closure-broadcast centroid matrix; at cluster scale
+    write this partitioned by list_id so a probe reads nprobe partitions."""
+    cent_t = np.ascontiguousarray(centroids.T)  # (dim, n_centroids)
+    fields = [embeddings.schema[id_col],
+              T.StructField("list_id", T.IntegerType(), False)]
+    if keep_vec:
+        fields.append(embeddings.schema[vec_col])
+    schema = T.StructType(fields)
+
+    def _assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            lists = (m @ cent_t).argmax(axis=1).astype(np.int32)
+            out = {id_col: pdf[id_col], "list_id": lists}
+            if keep_vec:
+                out[vec_col] = pdf[vec_col]
+            yield pd.DataFrame(out)
+
+    return embeddings.select(id_col, vec_col).mapInPandas(_assign, schema)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index: DataFrame | None = None,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-Flat top-k: probe the nprobe centroid lists nearest the query,
+    exact cosine re-rank inside them -> (id, cos) (cos desc, id asc).
+
+    ``nprobe == n_centroids`` probes every list and is EXACTLY brute-force
+    cosine top-k — the contract the driver gate checks against the plain
+    SQL oracle (so the quantizer-train + assign + probe plumbing is
+    exercised with an exact expected answer); recall at nprobe < n_centroids
+    is asserted separately in tests. Pass a persisted ``ivf_assign`` table
+    as ``index`` (with its ``centroids``) to amortize across queries."""
+    if centroids is None:
+        centroids = ivf_centroids(embeddings, n_centroids, sample,
+                                  id_col=id_col, vec_col=vec_col)
+    idx = index if index is not None else ivf_assign(
+        embeddings, centroids, id_col, vec_col, keep_vec=True)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q /= max(np.linalg.norm(q), 1e-12)
+    order = np.argsort(-(centroids @ q), kind="stable")
+    probe = [int(c) for c in order[:nprobe]]
+    cand = idx.filter(F.col("list_id").isin(probe))
+    if vec_col in idx.columns:
+        return cosine_topk(cand.select(id_col, vec_col), query_vec, k,
+                           id_col, vec_col)
+    return cosine_topk(embeddings.join(cand.select(id_col), id_col),
+                       query_vec, k, id_col, vec_col)
+
+
 def cosine_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,

@@ -167,3 +167,94 @@ def test_ann_topk_with_precomputed_index(spark):
     indexed = similarity.ann_topk(df, q, k=5, n_planes=16, n_bands=4,
                                   seed=7, signatures=sigs).collect()
     assert [tuple(r) for r in fresh] == [tuple(r) for r in indexed]
+
+
+def _py_simhash32(text: str) -> int | None:
+    """Independent pure-python SimHash oracle (reference for both impls)."""
+    from collections import Counter
+
+    counts = Counter(tokenize_py(text))
+    if not counts:
+        return None
+    s = [0] * 32
+    for w, tf in counts.items():
+        h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+        for b in range(32):
+            s[b] += tf * (2 * ((h >> b) & 1) - 1)
+    return sum((1 << b) for b in range(32) if s[b] > 0)
+
+
+def test_simhash_map_equals_agg_and_python(spark, docs_df):
+    """The zero-shuffle Arrow-map simhash32 must agree bit-for-bit with the
+    explode/groupBy cross-check impl AND the pure-python oracle; docs with
+    no admitted tokens are absent from both."""
+    extra = spark.createDataFrame(
+        [(100, "1234 5678 ... !!!"), (101, None), (102, "café émigré")],
+        "doc_id long, text string",
+    )
+    docs = docs_df.unionByName(extra)
+    got_map = {r["doc_id"]: r["simhash"] for r in dedup.simhash32(docs).collect()}
+    got_agg = {r["doc_id"]: r["simhash"] for r in dedup.simhash32_agg(docs).collect()}
+    assert got_map == got_agg
+    assert set(got_map) == {i for i, t in _DOCS}  # no-token docs dropped
+    for doc_id, text in _DOCS:
+        assert got_map[doc_id] == _py_simhash32(text), doc_id
+
+
+def test_simhash32_plan_has_no_shuffle(spark, docs_df):
+    """SimHash is row-local: the map impl's physical plan must contain no
+    Exchange (the 32x explode/groupBy path had two)."""
+    plan = dedup.simhash32(docs_df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+# -- IVF ANN ------------------------------------------------------------------
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """nprobe == n_centroids must be EXACTLY brute-force cosine top-k (the
+    contract the driver oracle checks)."""
+    df, m = _emb_df(spark, 80, 24)
+    q = [float(x) for x in m[5]]
+    ivf = similarity.ivf_topk(df, q, k=7, n_centroids=8, nprobe=8).collect()
+    brute = similarity.cosine_topk(df, q, k=7).collect()
+    assert [tuple(r) for r in ivf] == [tuple(r) for r in brute]
+
+
+def test_ivf_recall_finds_planted_duplicate_at_nprobe_1(spark):
+    """An exact duplicate of the query assigns to the query's own nearest
+    list, so nprobe=1 must already surface it with cos 1.0."""
+    df, m = _emb_df(spark, 60, 16, dupes=1)  # vec 59 == vec 0
+    q = [float(x) for x in m[0]]
+    got = similarity.ivf_topk(df, q, k=3, n_centroids=8, nprobe=1).collect()
+    ids = {r["vec_id"] for r in got}
+    assert {0, 59} <= ids
+    assert all(r["cos"] <= 1.0 for r in got)
+
+
+def test_ivf_assign_total_and_deterministic(spark):
+    """Every vector lands in exactly one list; training + assignment are
+    bit-deterministic across rebuilds (resume/rerun safety)."""
+    df, _ = _emb_df(spark, 50, 16)
+    cent1 = similarity.ivf_centroids(df, n_centroids=8, sample=32)
+    cent2 = similarity.ivf_centroids(df, n_centroids=8, sample=32)
+    assert np.array_equal(cent1, cent2)
+    a1 = {r["vec_id"]: r["list_id"]
+          for r in similarity.ivf_assign(df, cent1, keep_vec=False).collect()}
+    a2 = {r["vec_id"]: r["list_id"]
+          for r in similarity.ivf_assign(df, cent2, keep_vec=False).collect()}
+    assert a1 == a2 and len(a1) == 50
+    assert set(a1.values()) <= set(range(8))
+
+
+def test_ivf_topk_with_precomputed_index(spark):
+    """ivf_topk over a persisted (id, list_id, vec) index table returns the
+    same rows as build-on-the-fly (the amortized production path)."""
+    df, m = _emb_df(spark, 50, 16)
+    q = [float(x) for x in m[3]]
+    cent = similarity.ivf_centroids(df, n_centroids=8, sample=32)
+    idx = similarity.ivf_assign(df, cent).cache()
+    fresh = similarity.ivf_topk(df, q, k=5, n_centroids=8, nprobe=3,
+                                sample=32).collect()
+    amortized = similarity.ivf_topk(df, q, k=5, n_centroids=8, nprobe=3,
+                                    index=idx, centroids=cent).collect()
+    assert [tuple(r) for r in fresh] == [tuple(r) for r in amortized]
