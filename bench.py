@@ -62,7 +62,7 @@ SCALE_N = (2, 8)
 SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "80000"))
 # lockstep rounds: each round = one N-core build with 4N-core builds
 # looping concurrently on disjoint cores; a round is one paired sample
-SCALE_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "6"))
+SCALE_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "8"))
 # stop scheduling rounds once this many seconds have elapsed (the
 # driver's bench timeout is unknown; four rounds always complete so each
 # parity pair holds >=2 samples per level even on a degraded host)
@@ -206,10 +206,17 @@ class _BuildServer:
         if _sh.which("taskset"):
             cmd = ["taskset", "-c", core_range or f"0-{cpus - 1}"] + cmd
         self.cpus = cpus
+        env = dict(os.environ)
+        # Right-size the server heap to its width: AlwaysPreTouch faults
+        # the whole heap at JVM start through this kernel's slow fault
+        # path, so a 24g default heap on 2 pinned cores is pure cold-start
+        # cost (and 2x24g of resident heap adds host memory pressure).
+        # The 80k-conv scaling build peaks well under these sizes.
+        env.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{4 + int(cpus)}g")
         self.proc = subprocess.Popen(
             cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
             stderr=subprocess.DEVNULL, text=True, bufsize=1,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
+            cwd=os.path.dirname(os.path.abspath(__file__)), env=env,
         )
 
     def _read_json_line(self, timeout_hint: str) -> dict:
@@ -433,12 +440,20 @@ def _build_server_loop(cpus: str, input_path: str,
     spark.range(0, par * 4, 1, par * 4).mapInPandas(
         lambda it: (pdf for pdf in it), "id long"
     ).count()
-    # No separate warm-up builds: every build is a timed sample, and the
-    # min-per-level estimator discards the early (JIT-cold) rounds
-    # automatically — measured repeat sequences descend for ~3-4 builds
-    # (C2 compilation competes with the task threads, worst at 2 cores),
-    # then plateau at the floor. Spending those builds as SAMPLES instead
-    # of warm-up doubles the rounds that fit the budget.
+    # JIT warm-up on a SLICE, not the full corpus: a cold full-size build
+    # costs 10-20x its warm floor (C2 compilation storms compete with the
+    # task threads, worst at 2 pinned cores — measured 271 s vs a 24 s
+    # floor), which used to eat most of the scaling budget. Two builds
+    # over a ~WARMUP_TURNS prefix walk the exact same code paths (fused
+    # ingest UDF, codegen, segment encoder, parquet committer) at ~1/10
+    # the data, so C2/ codegen caches are hot before the first full-size
+    # build. The slice persists separately; it never contaminates `df`.
+    if WARMUP_TURNS > 0:
+        wdf = df.limit(WARMUP_TURNS).persist()
+        wn = wdf.count()
+        for _ in range(int(os.environ.get("SPARK_GRAFT_SLICE_WARMUPS", "3"))):
+            _timed_build(spark, wdf, wn)
+        wdf.unpersist()
     for _ in range(int(os.environ.get("SPARK_GRAFT_SERVER_WARMUPS", "0"))):
         _timed_build(spark, df, n_turns)
     print(json.dumps({"status": "ready", "turns": n_turns}), flush=True)
@@ -446,6 +461,14 @@ def _build_server_loop(cpus: str, input_path: str,
         if line != "BUILD":
             break
         print(json.dumps(_timed_build(spark, df, n_turns)), flush=True)
+        # long-lived-server hygiene: a full GC between builds keeps heap
+        # aging (the hi server runs 4-7x more builds than the lo one)
+        # from masquerading as a scaling effect; it runs OUTSIDE the
+        # timed window
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
     spark.stop()
 
 
@@ -658,11 +681,22 @@ def _scaling_bench(spark, t_total0: float) -> dict:
     # Generate the scaling corpus ONCE (deterministic per-conv RNG,
     # written by the unpinned parent session): every pinned run indexes
     # the SAME parquet bytes, and generation cost/variance never
-    # touches the scaling wall.
-    corpus_dir = tempfile.mkdtemp(prefix="sgbench_corpus_", dir=BENCH_TMP)
+    # touches the scaling wall. Cached on tmpfs across bench runs (the
+    # generator is deterministic in n_convs, so same key == same bytes);
+    # ~25 s reclaimed for scored rounds on every run after the first.
+    corpus_dir = os.path.join(BENCH_TMP, f"sgbench_corpus_c{SCALE_CONVS}_v1")
     corpus_path = os.path.join(corpus_dir, "transcripts.parquet")
-    transcripts_spark(spark, n_convs=SCALE_CONVS, partitions=64) \
-        .write.mode("overwrite").parquet(corpus_path)
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        tmp_dir = tempfile.mkdtemp(prefix="sgbench_corpus_", dir=BENCH_TMP)
+        transcripts_spark(spark, n_convs=SCALE_CONVS, partitions=64) \
+            .write.mode("overwrite") \
+            .parquet(os.path.join(tmp_dir, "transcripts.parquet"))
+        os.makedirs(corpus_dir, exist_ok=True)
+        try:
+            os.rename(os.path.join(tmp_dir, "transcripts.parquet"),
+                      corpus_path)
+        except OSError:  # concurrent run won the rename; use theirs
+            _sh.rmtree(tmp_dir, ignore_errors=True)
 
     # LOCKSTEP-CONCURRENT pairing: the two pinned servers run on
     # DISJOINT cores and build AT THE SAME TIME — per round, the N-core
@@ -689,15 +723,20 @@ def _scaling_bench(spark, t_total0: float) -> dict:
         pyz = _pyfiles_zip() if SCALE_MODE == "cluster" else None
         ranges = {n_lo: f"0-{n_lo - 1}",
                   n_hi: f"{hi_start}-{hi_start + n_hi - 1}"}
-        for c in (n_lo, n_hi):  # sequential startup: warmups don't overlap
+        # concurrent startup: both servers JIT-warm on their DISJOINT core
+        # sets at once (slice warm-up builds inside _build_server_loop),
+        # so startup costs max(warm_2, warm_8), not the sum
+        for c in (n_lo, n_hi):
             servers[c] = (_ClusterBuildServer(c, corpus_path, pyz,
                                               core_range=ranges[c])
                           if SCALE_MODE == "cluster"
                           else _BuildServer(c, corpus_path,
                                             core_range=ranges[c]))
+        for c in (n_lo, n_hi):
             servers[c].wait_ready()
-        # concurrent warm rounds (JIT/codegen; recorded, not scored)
-        for _ in range(2):
+        # concurrent full-size warm rounds (residual JIT + page cache;
+        # recorded, not scored) — slice warm-up already paid the C2 storm
+        for _ in range(int(os.environ.get("SPARK_GRAFT_WARM_ROUNDS", "2"))):
             res: dict = {}
             ths = [threading.Thread(
                 target=lambda c=c: res.__setitem__(c, servers[c].build()))
@@ -743,7 +782,7 @@ def _scaling_bench(spark, t_total0: float) -> dict:
     finally:
         for s in servers.values():
             s.quit()
-        _sh.rmtree(corpus_dir, ignore_errors=True)
+        pass  # corpus_dir is a reusable tmpfs cache; keep it
     lo = max(runs[n_lo], key=lambda r: r["turns_per_sec"])
     hi = max(runs[n_hi], key=lambda r: r["turns_per_sec"])
     se = sorted(round_effs)
