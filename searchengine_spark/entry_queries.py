@@ -516,6 +516,41 @@ SELECT DISTINCT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id"""
 
 
+def q_minhash_dedup_pairs(spark, sf_dir):
+    """End-to-end MinHash dedup SCALE path: LSH band candidates -> exact
+    Jaccard verify -> pairs >= τ. This is the pipeline a 100 TB dedup run
+    executes (pairwise work bounded by band collisions, never all-pairs);
+    the oracle recomputes candidates and the verify join in SQL."""
+    return dedup.minhash_dedup_pairs(
+        _docs(spark, sf_dir), n_perm=_N_PERM, n_bands=4,
+        threshold=_JACCARD_THRESHOLD,
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "jaccard",
+    )
+
+
+SQL_MINHASH_DEDUP_PAIRS = f"""WITH {_MH_CTES},
+bands AS (SELECT doc_id, (perm // 2) AS band,
+                 md5(string_agg(minhash::VARCHAR, ',' ORDER BY perm)) AS band_key
+          FROM mh GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*)::BIGINT AS i
+  FROM cand c JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
+       round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= {_JACCARD_THRESHOLD}"""
+
+
 def q_simhash(spark, sf_dir):
     return dedup.simhash32(_docs(spark, sf_dir)).select(
         "doc_id", F.col("simhash").cast("long").alias("simhash")
@@ -878,6 +913,45 @@ FROM m CROSS JOIN dims"""
 
 
 
+def q_media_resize(spark, sf_dir):
+    """REAL decode->resize kernel: PPM payloads parsed and nearest-neighbor
+    resized to 8x4; constant-pixel fixtures make the resized mean
+    analytically exact (mean of a constant image is the constant at any
+    output size), while the decoder+resampler still run for real."""
+    media = multimodal.synth_media(_docs(spark, sf_dir))
+    out = multimodal.resize_images(media, out_w=8, out_h=4)
+    return out.select(
+        "media_id", "in_w", "in_h", "out_w", "out_h",
+        F.round("mean_value", 6).alias("mean_value"),
+    )
+
+
+SQL_MEDIA_RESIZE = """SELECT doc_id::BIGINT AS media_id,
+  (doc_id % 16 + 1)::BIGINT AS in_w, (doc_id % 8 + 1)::BIGINT AS in_h,
+  8::BIGINT AS out_w, 4::BIGINT AS out_h,
+  round((doc_id % 256)::DOUBLE, 6) AS mean_value
+FROM documents WHERE doc_id % 2 = 0"""
+
+
+def q_video_frame_sample(spark, sf_dir):
+    """Video frame sampling with real per-frame decode: each doc_id gets a
+    (doc_id % 5 + 1)-frame synthetic video (length-prefixed PPM frames);
+    every 2nd frame is decoded (skipped frames are length-seeked, never
+    parsed) and its mean emitted. Frame means are closed-form in
+    (doc_id, frame_idx), so the oracle is analytic SQL."""
+    media = multimodal.synth_video(_docs(spark, sf_dir))
+    out = multimodal.sample_frames(media, every=2)
+    return out.select(
+        "media_id", "frame_idx", F.round("mean_value", 6).alias("mean_value")
+    )
+
+
+SQL_VIDEO_FRAME_SAMPLE = """SELECT doc_id::BIGINT AS media_id,
+  f::BIGINT AS frame_idx,
+  round(((doc_id + f) % 256)::DOUBLE, 6) AS mean_value
+FROM documents, unnest(range(0, doc_id % 5 + 1, 2)) AS t(f)"""
+
+
 def q_windowed_counts(spark, sf_dir):
     """Tumbling event-time window x event_type rollup over the events
     table — the batch twin of the watermarked Structured Streaming
@@ -925,6 +999,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
+        "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "lsh_candidate_pairs": q_lsh_candidates,
         "simhash32": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -942,6 +1017,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_meta": q_payload_meta,
         "media_features": q_media_features,
         "media_decode": q_media_decode,
+        "media_resize": q_media_resize,
+        "video_frame_sample": q_video_frame_sample,
         # streaming (batch twin of the watermarked windowed agg)
         "windowed_counts": q_windowed_counts,
     }
@@ -969,6 +1046,7 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
         "minhash_signatures": SQL_MINHASH_SIGNATURES,
+        "minhash_dedup_pairs": SQL_MINHASH_DEDUP_PAIRS,
         "lsh_candidate_pairs": SQL_LSH_CANDIDATES,
         "simhash32": SQL_SIMHASH,
         "simhash_pairs": SQL_SIMHASH_PAIRS,
@@ -983,5 +1061,7 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "payload_meta": SQL_PAYLOAD_META,
         "media_features": SQL_MEDIA_FEATURES,
         "media_decode": SQL_MEDIA_DECODE,
+        "media_resize": SQL_MEDIA_RESIZE,
+        "video_frame_sample": SQL_VIDEO_FRAME_SAMPLE,
         "windowed_counts": SQL_WINDOWED_COUNTS,
     }

@@ -87,3 +87,48 @@ def test_decode_features_distributed(spark):
             assert r["dim_a"] == i % 64 + 1
             assert r["dim_b"] == 8000
             assert r["mean_value"] == float(i % 1000 - 500)
+
+
+def test_resize_nearest_identity_and_downsample():
+    grad = np.arange(4 * 8 * 3, dtype=np.uint8).reshape(4, 8, 3)
+    assert np.array_equal(mm.resize_nearest(grad, 8, 4), grad)  # identity
+    down = mm.resize_nearest(grad, 4, 2)
+    assert down.shape == (2, 4, 3)
+    # NN sampling grid: src index = floor((i+0.5)*in/out)
+    ys = [int((i + 0.5) * 4 / 2) for i in range(2)]
+    xs = [int((j + 0.5) * 8 / 4) for j in range(4)]
+    assert np.array_equal(down, grad[np.ix_(ys, xs)])
+
+
+def test_resize_constant_mean_exact():
+    px = np.full((5, 7, 3), 123, dtype=np.uint8)
+    assert float(mm.resize_nearest(px, 8, 4).mean()) == 123.0
+
+
+def test_framepack_roundtrip_and_skip():
+    frames = [np.full((2, 4, 3), v, dtype=np.uint8) for v in (10, 20, 30, 40, 50)]
+    pack = mm.encode_framepack(frames)
+    got = list(mm.decode_framepack(pack, every=2))
+    assert [i for i, _ in got] == [0, 2, 4]
+    for i, (w, h, px) in got:
+        assert (w, h) == (4, 2)
+        assert np.array_equal(px, frames[i])
+    # every=1 decodes all
+    assert [i for i, _ in mm.decode_framepack(pack, every=1)] == [0, 1, 2, 3, 4]
+
+
+def test_resize_images_and_sample_frames_distributed(spark):
+    ids = spark.range(0, 20).selectExpr("id as doc_id")
+    media = mm.synth_media(ids)
+    rs = {r["media_id"]: r for r in mm.resize_images(media, 8, 4).collect()}
+    assert set(rs) == {i for i in range(20) if i % 2 == 0}
+    for i, r in rs.items():
+        assert (r["in_w"], r["in_h"]) == (i % 16 + 1, i % 8 + 1)
+        assert (r["out_w"], r["out_h"]) == (8, 4)
+        assert r["mean_value"] == float(i % 256)
+    vids = mm.synth_video(ids)
+    fr = {(r["media_id"], r["frame_idx"]): r["mean_value"]
+          for r in mm.sample_frames(vids, every=2).collect()}
+    want = {(i, f): float((i + f) % 256)
+            for i in range(20) for f in range(0, i % 5 + 1, 2)}
+    assert fr == want
