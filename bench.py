@@ -29,7 +29,7 @@ Two parts:
    sizes run on identically-loaded hardware.) Per-round efficiency =
    wall_N / (4 * median(fully-overlapped wall_4N)); the headline is the
    median over rounds; every wall is published. Partition counts are
-   SIZE-based (~42k rows/partition, the AQE-advisory-size philosophy),
+   SIZE-based (~14k rows/partition, the AQE-advisory-size philosophy),
    identical at both widths, so both levels run the same physical plan
    and write the bit-identical index (hash-checked per build). N=2->8 is
    used because the sandbox kernel's JVM<->Python socket path saturates
@@ -52,17 +52,32 @@ import subprocess
 import sys
 import time
 
+# Single-threaded BLAS everywhere (parent + inherited by Spark Python
+# workers): with 32 workers a multi-threaded BLAS oversubscribes cores,
+# and the host-health probe needs deterministic single-thread timing.
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "150000"))
 SCALE_N = (2, 8)
-# 80k convs ~= 334k turns: big enough that per-stage fixed costs are <10%
-# of the local[8] build, small enough that one alternating (2-core,
-# 8-core) build round takes ~35 s, so 6 rounds fit the budget.
+# 80k convs ~= 334k turns: at 14k rows/partition that is 24 doc
+# partitions = 3 task waves at width 8 and 12 at width 2, so tail
+# jitter amortizes at BOTH widths (one 8-wide wave was tried: any
+# single-task jitter idled 7 cores and quiet-round eff scattered
+# 0.69-0.95; with 3 waves quiet rounds read 0.94-0.95 consistently,
+# and a width-2 min-of-3 A/B showed 14k is faster in absolute wall
+# too). One (2-core, 8-core) round takes ~35 s so 6-8 rounds fit the
+# budget. (160k convs was tried: rounds cost ~60 s, only 3 fit, and
+# the median over 3 is MORE noise-fragile.)
 SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "80000"))
-# lockstep rounds: each round = one N-core build with 4N-core builds
-# looping concurrently on disjoint cores; a round is one paired sample
-SCALE_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "8"))
+# max scored rounds; the loop stops EARLY once SCALE_HEALTHY_TARGET
+# host-quiet rounds (steal_frac <= tol, judged inline from the kernel's
+# steal counter) have landed, so quiet weather finishes fast and stormy
+# weather spends the whole budget hunting for quiet windows
+SCALE_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "12"))
+SCALE_HEALTHY_TARGET = int(os.environ.get("SPARK_GRAFT_SCALE_HEALTHY", "4"))
 # stop scheduling rounds once this many seconds have elapsed (the
 # driver's bench timeout is unknown; four rounds always complete so each
 # parity pair holds >=2 samples per level even on a degraded host)
@@ -110,7 +125,7 @@ def _timed_build(spark, df, n_turns: int) -> dict:
     # partition keeps per-task sort/spill footprints at their sweet spot at
     # every cluster width, and makes the physical plan — and the written
     # index layout — identical across widths (the determinism contract).
-    target = int(os.environ.get("SPARK_GRAFT_ROWS_PER_PARTITION", "42000"))
+    target = int(os.environ.get("SPARK_GRAFT_ROWS_PER_PARTITION", "14000"))
     doc_parts = int(os.environ.get("SPARK_GRAFT_DOC_PARTS", "0")) \
         or max(par, -(-n_turns // target))
     out_dir = tempfile.mkdtemp(prefix="sgbench_idx_", dir=BENCH_TMP)
@@ -190,6 +205,53 @@ def build_transcripts_index(spark, n_convs: int, input_path: str | None = None,
     return best
 
 
+_CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+
+
+def _host_steal_s() -> float:
+    """Cumulative hypervisor steal seconds for the whole host (field 8 of
+    /proc/stat's cpu line) — the kernel's own accounting of time vCPUs
+    were runnable but not scheduled by the hypervisor. This is the
+    authoritative noise signal on a shared VM: a single-threaded matmul
+    probe misses steal that only hits the busy cores."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8]) / _CLK_TCK
+    except (OSError, IndexError, ValueError):
+        return 0.0
+
+
+def _tree_cpu_s(root_pid: int) -> float:
+    """utime+stime seconds summed over root_pid's live process subtree
+    (build-server Python + Spark JVM + pyspark workers). Lets a round
+    publish CPU-seconds alongside wall: constant CPU with inflated wall
+    means the hypervisor withheld cores; inflated CPU means the job
+    itself (GC/JIT) did more work."""
+    try:
+        kids: dict[int, list[int]] = {}
+        cpu: dict[int, float] = {}
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat") as f:
+                    st = f.read()
+            except OSError:
+                continue
+            fields = st[st.rindex(")") + 2:].split()
+            cpu[int(d)] = (int(fields[11]) + int(fields[12])) / _CLK_TCK
+            kids.setdefault(int(fields[1]), []).append(int(d))
+        total, stack = 0.0, [root_pid]
+        while stack:
+            p = stack.pop()
+            total += cpu.get(p, 0.0)
+            stack.extend(kids.get(p, []))
+        return round(total, 2)
+    except (OSError, ValueError):
+        return 0.0
+
+
 class _BuildServer:
     """A long-lived subprocess pinned to exactly ``cpus`` cores running
     local[cpus]: loads the shared corpus, warms up once, then runs one
@@ -239,6 +301,9 @@ class _BuildServer:
         self.proc.stdin.write("BUILD\n")
         self.proc.stdin.flush()
         return self._read_json_line("build")
+
+    def tree_cpu_s(self) -> float:
+        return _tree_cpu_s(self.proc.pid)
 
     def quit(self) -> None:
         try:
@@ -364,6 +429,10 @@ class _ClusterBuildServer:
         self._send("BUILD")
         return self._read_json_line("build")
 
+    def tree_cpu_s(self) -> float:
+        return round(sum(_tree_cpu_s(p.pid) for p in self._procs)
+                     + _tree_cpu_s(self.proc.pid), 2)
+
     def quit(self) -> None:
         try:
             self._send("QUIT")
@@ -434,7 +503,7 @@ def _build_server_loop(cpus: str, input_path: str,
     if not mult:
         # same size-based shuffle width at every cluster width (the same
         # rows-per-partition rule as the doc partitioning in _timed_build)
-        target = int(os.environ.get("SPARK_GRAFT_ROWS_PER_PARTITION", "42000"))
+        target = int(os.environ.get("SPARK_GRAFT_ROWS_PER_PARTITION", "14000"))
         spark.conf.set("spark.sql.shuffle.partitions",
                        str(max(2, -(-n_turns // target))))
     spark.range(0, par * 4, 1, par * 4).mapInPandas(
@@ -656,7 +725,10 @@ def main() -> None:
     except Exception as e:  # a dead server must not cost the whole record
         build = {"error": f"{type(e).__name__}: {e}", **build}
 
-    timings, extra = query_bench(spark)
+    if os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "1") != "0":
+        timings, extra = query_bench(spark)
+    else:
+        timings, extra = {}, {}
     spark.stop()
 
     total = round(time.perf_counter() - t_total0, 3)
@@ -744,7 +816,7 @@ def _scaling_bench(spark, t_total0: float) -> dict:
             servers[c].wait_ready()
         # concurrent full-size warm rounds (residual JIT + page cache;
         # recorded, not scored) — slice warm-up already paid the C2 storm
-        for _ in range(int(os.environ.get("SPARK_GRAFT_WARM_ROUNDS", "2"))):
+        for _ in range(int(os.environ.get("SPARK_GRAFT_WARM_ROUNDS", "1"))):
             res: dict = {}
             ths = [threading.Thread(
                 target=lambda c=c: res.__setitem__(c, servers[c].build()))
@@ -753,35 +825,65 @@ def _scaling_bench(spark, t_total0: float) -> dict:
             [t.join() for t in ths]
             for c in (n_lo, n_hi):
                 runs[c].append(res[c])
-        # Host-health probe: a fixed single-threaded numpy matmul, timed
-        # (min of 3). Independent of Spark and of either server; on a
-        # healthy host it is constant, under hypervisor steal it degrades
-        # 2-6x (measured on this VM). Each round records max(pre, post)
-        # probe time; rounds whose probe exceeds PROBE_TOL x the best
-        # probe of the run are flagged host_degraded and EXCLUDED from
-        # the headline median (published raw, with the all-rounds median
-        # alongside): steal storms throttle 8 busy cores far harder than
-        # 2, so a stormy round measures the hypervisor, not the job.
+        # Host-health sampler: a fixed single-threaded numpy matmul timed
+        # every ~150 ms on a background thread for the WHOLE duration of
+        # each round (bracketing probes before/after a round miss the
+        # multi-second steal bursts that actually poison the walls).
+        # Independent of Spark and of either server; on a healthy host
+        # the sample time is constant, under hypervisor steal it degrades
+        # 2-6x. Each round records p50/p75/max of its samples; rounds
+        # whose p75 exceeds PROBE_TOL x the run-median round-p50 are
+        # flagged host_degraded and EXCLUDED from the headline median
+        # (published raw, with the all-rounds median alongside): steal
+        # storms throttle 8 busy cores far harder than 2, so a stormy
+        # round measures the hypervisor, not the job.
         import numpy as _np
 
-        _pa = _np.random.default_rng(0).standard_normal((384, 384))
+        _pa = _np.random.default_rng(0).standard_normal((256, 256))
 
-        def _probe_ms() -> float:
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                (_pa @ _pa).sum()
-                best = min(best, time.perf_counter() - t0)
-            return round(best * 1000, 2)
+        class _Sampler:
+            def __init__(self):
+                self.samples: list[float] = []
+                self._stop = threading.Event()
+                self._th = threading.Thread(target=self._run, daemon=True)
+                self._th.start()
 
-        # PRIMARY: adjacent sequential pairs
+            def _run(self):
+                while not self._stop.is_set():
+                    t0 = time.perf_counter()
+                    (_pa @ _pa).sum()
+                    self.samples.append((time.perf_counter() - t0) * 1000)
+                    self._stop.wait(0.15)
+
+            def stop(self) -> dict:
+                self._stop.set()
+                self._th.join()
+                s = sorted(self.samples)
+                if not s:
+                    return {"p50": None, "p75": None, "max": None, "n": 0}
+                q = lambda p: round(s[min(len(s) - 1, int(p * len(s)))], 2)
+                return {"p50": q(0.5), "p75": q(0.75),
+                        "max": round(s[-1], 2), "n": len(s)}
+
+        # PRIMARY: adjacent sequential pairs (adaptive: stop once enough
+        # host-quiet rounds have landed, judged inline from kernel steal)
+        steal_tol_live = float(os.environ.get("SPARK_GRAFT_STEAL_TOL", "0.05"))
+        n_quiet = 0
         for rnd in range(SCALE_ROUNDS):
-            if rnd > 2 and time.perf_counter() - t_total0 > SCALE_BUDGET_S:
+            if rnd > 2 and (n_quiet >= SCALE_HEALTHY_TARGET
+                            or time.perf_counter() - t_total0 > SCALE_BUDGET_S):
                 break
-            pre_ms = _probe_ms()
+            smp = _Sampler()
+            st0 = _host_steal_s()
+            cpu_lo0 = servers[n_lo].tree_cpu_s()
             lo_r = servers[n_lo].build()
+            cpu_lo1 = servers[n_lo].tree_cpu_s()
+            st_mid = _host_steal_s()
+            cpu_hi0 = servers[n_hi].tree_cpu_s()
             hi_r = servers[n_hi].build()
-            post_ms = _probe_ms()
+            cpu_hi1 = servers[n_hi].tree_cpu_s()
+            st1 = _host_steal_s()
+            probe = smp.stop()
             runs[n_lo].append(lo_r)
             runs[n_hi].append(hi_r)
             eff = lo_r["build_sec"] / ((n_hi / n_lo) * hi_r["build_sec"])
@@ -790,8 +892,19 @@ def _scaling_bench(spark, t_total0: float) -> dict:
                 f"wall_{n_lo}": lo_r["build_sec"],
                 f"wall_{n_hi}": hi_r["build_sec"],
                 "eff": round(eff, 3),
-                "probe_ms": max(pre_ms, post_ms),
+                "probe": probe,
+                # hypervisor steal core-seconds during each half-round
+                # (kernel accounting; the decisive VM-noise signal)
+                f"steal_{n_lo}": round(st_mid - st0, 2),
+                f"steal_{n_hi}": round(st1 - st_mid, 2),
+                # CPU-seconds the build actually got: constant cpu +
+                # inflated wall = cores withheld; inflated cpu = GC/JIT
+                f"cpu_{n_lo}": round(cpu_lo1 - cpu_lo0, 2),
+                f"cpu_{n_hi}": round(cpu_hi1 - cpu_hi0, 2),
             })
+            if max((st_mid - st0) / (n_lo * lo_r["build_sec"]),
+                   (st1 - st_mid) / (n_hi * hi_r["build_sec"])) <= steal_tol_live:
+                n_quiet += 1
         # SECONDARY: lockstep-concurrent rounds (both servers at once)
         lock_effs: list[float] = []
         lock_detail: list[dict] = []
@@ -845,23 +958,59 @@ def _scaling_bench(spark, t_total0: float) -> dict:
 
     med_all = _median(round_effs)
     # host-health filter (pre-declared, mechanical): a round is degraded
-    # iff its probe exceeded PROBE_TOL x the run's best probe
-    probe_tol = float(os.environ.get("SPARK_GRAFT_PROBE_TOL", "1.5"))
-    probes = [d.get("probe_ms") for d in rounds_detail if d.get("probe_ms")]
-    probe_floor = min(probes) if probes else None
+    # iff the p75 of its in-round samples exceeded PROBE_TOL x the
+    # run-median of round p50s (median baseline, not min: one lucky
+    # quiet round must not disqualify every normal one)
+    probe_tol = float(os.environ.get("SPARK_GRAFT_PROBE_TOL", "2.0"))
+    # steal rule: a half-round is degraded when the hypervisor withheld
+    # more than STEAL_TOL of the cores the build was entitled to
+    # (steal core-seconds / (width x wall)). Kernel accounting, not a
+    # heuristic probe; catches the bursts the matmul thread never sees.
+    steal_tol = float(os.environ.get("SPARK_GRAFT_STEAL_TOL", "0.05"))
+    p50s = [d["probe"]["p50"] for d in rounds_detail
+            if d.get("probe", {}).get("p50")]
+    probe_base = _median(p50s) if p50s else None
     healthy_effs = []
     for d in rounds_detail:
-        degraded = bool(probe_floor and d.get("probe_ms")
-                        and d["probe_ms"] > probe_tol * probe_floor)
+        p75 = d.get("probe", {}).get("p75")
+        probe_bad = bool(probe_base and p75 and p75 > probe_tol * probe_base)
+        fracs = []
+        for c in (n_lo, n_hi):
+            st, w = d.get(f"steal_{c}"), d.get(f"wall_{c}")
+            if st is not None and w:
+                fracs.append(st / (c * w))
+        d["steal_frac"] = round(max(fracs), 3) if fracs else None
+        steal_bad = bool(fracs) and max(fracs) > steal_tol
+        degraded = probe_bad or steal_bad
         d["host_degraded"] = degraded
         if not degraded:
             healthy_effs.append(d["eff"])
-    # headline = median over host-healthy rounds (>=2 required, else all)
-    med = (_median(healthy_effs) if len(healthy_effs) >= 2 else med_all)
+    # headline = median over host-healthy rounds; one measured-quiet
+    # round still beats a median over rounds the kernel says were
+    # steal-poisoned, so fall back to the all-rounds median only when
+    # NO round was quiet (the count + every raw wall are published)
+    med = _median(healthy_effs) if healthy_effs else med_all
+    # supplementary steal-corrected estimator: subtract the core-time the
+    # kernel says the hypervisor withheld from each wall (first-order —
+    # cache-pollution second-order effects remain), so stormy runs still
+    # publish a principled number next to the quiet-round headline
+    corr_effs = []
+    for d in rounds_detail:
+        try:
+            lo_w = d[f"wall_{n_lo}"] - d[f"steal_{n_lo}"] / n_lo
+            hi_w = d[f"wall_{n_hi}"] - d[f"steal_{n_hi}"] / n_hi
+            if lo_w > 0 and hi_w > 0:
+                c = round(lo_w / ((n_hi / n_lo) * hi_w), 3)
+                corr_effs.append(c)
+                d["eff_steal_corrected"] = c
+        except (KeyError, TypeError):
+            pass
+    med_corr = _median(corr_effs)
     hashes = {r["index_hash"] for rs in runs.values() for r in rs}
     build = {
         "turns": hi["turns"],
         "rounds": len(round_effs),
+        "rounds_host_quiet": len(healthy_effs),
         # "cluster" = real standalone cluster, n single-core executor
         # JVMs via spark-submit --py-files; "local" = pinned local[n]
         "scale_mode": SCALE_MODE,
@@ -879,9 +1028,11 @@ def _scaling_bench(spark, t_total0: float) -> dict:
         f"scaling_efficiency_{n_lo}_to_{n_hi}": med,
         "scaling_efficiency_median_of_pairs": med,
         "scaling_efficiency_median_all_rounds": med_all,
+        "scaling_efficiency_median_steal_corrected": med_corr,
         "scaling_efficiency_per_pair": round_effs,
-        "host_probe_floor_ms": probe_floor,
+        "host_probe_median_p50_ms": probe_base,
         "host_probe_tolerance": probe_tol,
+        "host_steal_tolerance": steal_tol,
         "rounds_detail": rounds_detail,
         # floor-based estimator (ratio of best-ever builds per level)
         "scaling_efficiency_seq_floors": round(
