@@ -971,6 +971,80 @@ SQL_WINDOWED_COUNTS = """SELECT
 FROM events GROUP BY 1, 2"""
 
 
+def q_sessionized_counts(spark, sf_dir, gap_minutes: int = 30):
+    """Gap-based sessionization rollup (operators/events.py sessionize):
+    one shuffle on user_id, lag + running-sum windows sharing the
+    exchange+sort, per-session agg reusing the partitioning. Duration is
+    integer microseconds so the oracle match is exact (no float drift)."""
+    from searchengine_spark.operators.events import session_rollup
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = session_rollup(events, gap_minutes=gap_minutes)
+    return out.select(
+        "user_id", "session_seq", "n_events", "duration_us",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+SQL_SESSIONIZED_COUNTS = """WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR date_diff('microsecond', lag(ts) OVER w, ts) > 30*60*1000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq::BIGINT AS session_seq,
+  count(*)::BIGINT AS n_events,
+  date_diff('microsecond', min(ts), max(ts))::BIGINT AS duration_us,
+  round(sum(value), 6) AS sum_value
+FROM sess GROUP BY 1, 2"""
+
+
+def q_user_top_events(spark, sf_dir, n: int = 2):
+    """Per-key top-N (row_number + filter; rank-pushdown keeps only the
+    running top-N per task — no full per-user sort materializes)."""
+    from searchengine_spark.operators.events import top_events_per_user
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = top_events_per_user(events, n=n)
+    return out.select("user_id", "rank", "event_id",
+                      F.round("value", 6).alias("value"))
+
+
+SQL_USER_TOP_EVENTS = """SELECT user_id, rank, event_id,
+  round(value, 6) AS value
+FROM (
+  SELECT user_id, event_id, value,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY value DESC, event_id) AS rank
+  FROM events
+) WHERE rank <= 2"""
+
+
+def q_event_props_stats(spark, sf_dir):
+    """Typed JSON property extraction + agg, fully JVM-side
+    (get_json_object path expression inside whole-stage codegen; the
+    props string never reaches Python)."""
+    from searchengine_spark.operators.events import props_stats
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return props_stats(events, key="k")
+
+
+SQL_EVENT_PROPS_STATS = """SELECT event_type,
+  count(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS n_with_key,
+  sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+  min(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS min_k,
+  max(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS max_k
+FROM events GROUP BY 1"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1021,6 +1095,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_sample": q_video_frame_sample,
         # streaming (batch twin of the watermarked windowed agg)
         "windowed_counts": q_windowed_counts,
+        "sessionized_counts": q_sessionized_counts,
+        "user_top_events": q_user_top_events,
+        "event_props_stats": q_event_props_stats,
     }
 
 
@@ -1064,4 +1141,7 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "media_resize": SQL_MEDIA_RESIZE,
         "video_frame_sample": SQL_VIDEO_FRAME_SAMPLE,
         "windowed_counts": SQL_WINDOWED_COUNTS,
+        "sessionized_counts": SQL_SESSIONIZED_COUNTS,
+        "user_top_events": SQL_USER_TOP_EVENTS,
+        "event_props_stats": SQL_EVENT_PROPS_STATS,
     }
