@@ -158,3 +158,92 @@ def test_stream_windowed_counts_watermark_semantics(spark, tmp_path_factory):
     twin = {(r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
             for r in windowed_event_agg(admitted).collect()}
     assert twin == got
+
+
+# ---------------------------------------------------------------------------
+
+
+def _sess_rows(spark, rows):
+    """rows = [(event_id, 'HH:MM', user_id, value)] on 2024-01-01."""
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (int(i), base.replace(hour=int(hm[:2]), minute=int(hm[3:])),
+         int(u), "view", float(v), "{}")
+        for i, hm, u, v in rows
+    ]
+    from searchengine_spark.streaming.windowed import EVENT_SCHEMA
+    return spark.createDataFrame(data, EVENT_SCHEMA)
+
+
+def test_stream_sessionize_stateful(spark, tmp_path_factory):
+    """applyInPandasWithState sessionization: (a) a session closes
+    in-stream when a same-user event arrives past the gap (data-driven
+    close); (b) an idle session closes via EventTimeTimeout once the
+    watermark passes last_event + gap; (c) a still-open session is never
+    emitted; (d) emitted sessions equal the batch twin
+    (operators/events.session_rollup) restricted to closed sessions."""
+    import glob as g
+    import shutil
+    import time
+
+    from searchengine_spark.operators.events import session_rollup
+    from searchengine_spark.streaming.sessions import stream_sessions
+
+    inp = str(tmp_path_factory.mktemp("sess_in"))
+    out = str(tmp_path_factory.mktemp("sess_out"))
+    ckpt = str(tmp_path_factory.mktemp("sess_ckpt"))
+
+    # gap 30 min, watermark 10 min
+    b1 = [(0, "00:00", 1, 1.0), (1, "00:10", 1, 2.0), (2, "00:05", 2, 4.0)]
+    # u1 @01:00: gap 50 > 30 -> closes u1's [00:00, 00:10] in-batch.
+    b2 = [(3, "01:00", 1, 8.0)]
+    # far-future u99 rows advance the watermark so EventTimeTimeout fires
+    # for u2 (00:05 + 30 = 00:35 < wm) ...
+    b3 = [(4, "03:00", 99, 16.0)]
+    # ... and for u1's second session (01:30 < wm 02:50). u99's own
+    # session (still within gap of the latest data) must stay open.
+    b4 = [(5, "03:10", 99, 32.0)]
+    for i, rows in enumerate((b1, b2, b3, b4)):
+        _sess_rows(spark, rows).coalesce(1).write.parquet(f"{inp}/b{i}")
+        f = g.glob(f"{inp}/b{i}/*.parquet")[0]
+        shutil.move(f, f"{inp}/part{i}.parquet")
+        shutil.rmtree(f"{inp}/b{i}")
+        time.sleep(1.1)  # distinct mtimes: file source orders by mtime
+
+    q = stream_sessions(spark, inp, out, ckpt,
+                        gap_minutes=30, watermark="10 minutes")
+    q.awaitTermination(300)
+
+    got = {(r.user_id, str(r.session_start), str(r.session_end),
+            r.n_events, r.sum_value)
+           for r in spark.read.parquet(out).collect()}
+    assert got == {
+        (1, "2024-01-01 00:00:00", "2024-01-01 00:10:00", 2, 3.0),
+        (2, "2024-01-01 00:05:00", "2024-01-01 00:05:00", 1, 4.0),
+        (1, "2024-01-01 01:00:00", "2024-01-01 01:00:00", 1, 8.0),
+    }
+
+    # batch twin over the same rows: sessionize + per-session rollup,
+    # restricted to sessions the final watermark (02:50) had closed
+    # (session_end + gap <= wm) — full tuples must match the stream.
+    import pyspark.sql.functions as F
+
+    from searchengine_spark.operators.events import sessionize
+
+    all_rows = _sess_rows(spark, b1 + b2 + b3 + b4)
+    twin = (
+        sessionize(all_rows, gap_minutes=30)
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"),
+             F.count("*").alias("n_events"),
+             F.sum("value").alias("sum_value"))
+    )
+    import datetime as dt
+    wm = dt.datetime(2024, 1, 1, 2, 50)
+    gap = dt.timedelta(minutes=30)
+    twin_closed = {(r.user_id, str(r.session_start), str(r.session_end),
+                    r.n_events, r.sum_value)
+                   for r in twin.collect() if r.session_end + gap <= wm}
+    assert twin_closed == got
