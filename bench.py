@@ -869,10 +869,30 @@ def _scaling_bench(spark, t_total0: float) -> dict:
         # host-quiet rounds have landed, judged inline from kernel steal)
         steal_tol_live = float(os.environ.get("SPARK_GRAFT_STEAL_TOL", "0.05"))
         n_quiet = 0
+        # Quiet-window gate: a steal storm lasts minutes and a doomed
+        # round burns ~45 s, so when the host-wide steal rate (core-s of
+        # steal per wall-second, from the same kernel counter the round
+        # filter uses) says a storm is in progress, poll-wait in 10 s
+        # steps instead of measuring — the budget then goes to rounds in
+        # the quiet windows. Round 0 always runs (a record must exist
+        # even in an endless storm), and the gate stops claiming time
+        # once < 90 s of budget remains so trailing rounds still land.
+        gate_rate = float(os.environ.get("SPARK_GRAFT_GATE_STEAL_RATE", "0.5"))
+
+        def _await_quiet():
+            while time.perf_counter() - t_total0 < SCALE_BUDGET_S - 90:
+                s0 = _host_steal_s()
+                time.sleep(2.0)
+                if (_host_steal_s() - s0) / 2.0 <= gate_rate:
+                    return
+                time.sleep(10.0)
+
         for rnd in range(SCALE_ROUNDS):
             if rnd > 2 and (n_quiet >= SCALE_HEALTHY_TARGET
                             or time.perf_counter() - t_total0 > SCALE_BUDGET_S):
                 break
+            if rnd >= 1:
+                _await_quiet()
             smp = _Sampler()
             st0 = _host_steal_s()
             cpu_lo0 = servers[n_lo].tree_cpu_s()
@@ -985,15 +1005,14 @@ def _scaling_bench(spark, t_total0: float) -> dict:
         d["host_degraded"] = degraded
         if not degraded:
             healthy_effs.append(d["eff"])
-    # headline = median over host-healthy rounds; one measured-quiet
-    # round still beats a median over rounds the kernel says were
-    # steal-poisoned, so fall back to the all-rounds median only when
-    # NO round was quiet (the count + every raw wall are published)
-    med = _median(healthy_effs) if healthy_effs else med_all
-    # supplementary steal-corrected estimator: subtract the core-time the
-    # kernel says the hypervisor withheld from each wall (first-order —
-    # cache-pollution second-order effects remain), so stormy runs still
-    # publish a principled number next to the quiet-round headline
+    # steal-corrected estimator: subtract the core-time the kernel says
+    # the hypervisor withheld from each wall (first-order — cache-
+    # pollution second-order effects remain). This de-biases BOTH
+    # directions: storms crush the 8-core side (raw eff reads low), but
+    # steady drizzle-steal taxes the 2-core side proportionally harder
+    # (raw eff reads HIGH — observed 0.93-0.98 raw vs 0.81-0.89
+    # corrected in a 0.10-0.19-frac run), so when no quiet round exists
+    # the corrected median is the honest headline, not the raw one.
     corr_effs = []
     for d in rounds_detail:
         try:
@@ -1006,6 +1025,12 @@ def _scaling_bench(spark, t_total0: float) -> dict:
         except (KeyError, TypeError):
             pass
     med_corr = _median(corr_effs)
+    # headline: median over measured-quiet rounds when any exist (the
+    # gold standard — nothing to correct); else the steal-corrected
+    # median; else the raw median. Every per-round wall/steal/cpu value
+    # and all three estimators are always published alongside.
+    med = (_median(healthy_effs) if healthy_effs
+           else (med_corr if med_corr is not None else med_all))
     hashes = {r["index_hash"] for rs in runs.values() for r in rs}
     build = {
         "turns": hi["turns"],
