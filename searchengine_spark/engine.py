@@ -62,16 +62,85 @@ class SearchEngine:
             doc_segments=segs,
         )
 
+    # -- deletes (tombstone mask now, physical purge at compaction) ------
+
+    def _tombstone_path(self) -> str:
+        return os.path.join(self.index_dir, "tombstones.json")
+
+    def tombstones(self) -> frozenset:
+        """Deleted doc_ids (tombstones.json; empty set if none). Driver-
+        sized by design — at 10^12 scale this becomes a Bloom/bitmap
+        sidecar, same masking semantics (operators/deletes.py)."""
+        p = self._tombstone_path()
+        if not os.path.exists(p):
+            return frozenset()
+        with open(p) as f:
+            return frozenset(int(d) for d in json.load(f))
+
+    def delete_docs(self, doc_ids) -> frozenset:
+        """Tombstone docs: excluded from every subsequent search
+        immediately; bytes reclaimed by purge_deleted(). Atomic
+        write-temp + replace (same discipline as streaming state)."""
+        dead = self.tombstones() | {int(d) for d in doc_ids}
+        p = self._tombstone_path()
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(sorted(dead), f)
+        os.replace(tmp, p)
+        return frozenset(dead)
+
+    def purge_deleted(self, n_shards: int) -> int:
+        """Physically rewrite ONLY the shards containing tombstoned docs
+        (operators/deletes.py purge_doc_segments; untouched shards pass
+        through), filter the doc store, clear the tombstone file.
+        Build-time stats stay pinned (Lucene semantics: deletes change
+        which docs match, never how survivors score, until a rebuild).
+        Returns the number of docs purged."""
+        from searchengine_spark.operators.deletes import purge_doc_segments
+
+        dead = self.tombstones()
+        if not dead:
+            return 0
+        seg_dir = os.path.join(self.index_dir, "doc_segments.parquet")
+        new_dir = seg_dir + ".purge"
+        purged = purge_doc_segments(
+            self.doc_segments, set(dead), self.scalars.n_docs,
+            self.scalars.avgdl, n_shards=n_shards,
+        )
+        purged.write.mode("overwrite").parquet(new_dir)
+        import shutil
+
+        shutil.rmtree(seg_dir)
+        os.rename(new_dir, seg_dir)
+        map_dir = os.path.join(self.index_dir, "doc_map.parquet")
+        new_map = map_dir + ".purge"
+        self.doc_map.filter(
+            ~F.col("doc_id").isin([int(d) for d in dead])
+        ).write.mode("overwrite").parquet(new_map)
+        shutil.rmtree(map_dir)
+        os.rename(new_map, map_dir)
+        os.remove(self._tombstone_path())
+        self.doc_segments = self.spark.read.parquet(seg_dir)
+        self.doc_map = self.spark.read.parquet(map_dir)
+        return len(dead)
+
+    # -- query ----------------------------------------------------------
+
     def search(self, query: str, k: int = 10, mode: str = "wand") -> DataFrame:
         """Top-k (doc_id, score). mode: "wand" (block-max pruned, default),
         "exhaustive" (relational verification path), "reference" (the
-        reference formula incl. its 1000-posting cap)."""
+        reference formula incl. its 1000-posting cap). Tombstoned docs
+        are masked in every mode."""
+        dead = self.tombstones()
         if mode == "wand":
             if self.doc_segments is None:
                 raise ValueError("index has no doc-segment layout")
             return wand_topk(self.doc_segments, query, self.term_stats,
-                             self.scalars.n_docs, self.scalars.avgdl, k=k)
-        tf = tf_from_doc_map(self.doc_map)
+                             self.scalars.n_docs, self.scalars.avgdl, k=k,
+                             exclude=dead or None)
+        from searchengine_spark.operators.deletes import exclude_tf
+
+        tf = exclude_tf(tf_from_doc_map(self.doc_map), set(dead))
         score_mode = "bm25" if mode == "exhaustive" else mode
         return score_topk(tf, self.term_stats, self.scalars, query, k=k,
                           mode=score_mode)

@@ -238,6 +238,42 @@ def q_merge_roundtrip(spark, sf_dir):
     )
 
 
+def q_wand_topk_deletes(spark, sf_dir, query: str = "spark join fast",
+                        k: int = 10):
+    """Tombstone-masked WAND (operators/deletes.py): docs with
+    doc_id % 17 == 3 are deleted; the kernel skips them before scoring
+    and the top-k refills with live docs. Stats stay the build-time
+    values (pinned, Lucene semantics), so the oracle is plain exhaustive
+    BM25 with full-corpus stats and a WHERE on the result set."""
+    from searchengine_spark.operators.wand import wand_topk
+
+    segs, _, stats, scalars = _doc_segments(spark, sf_dir)
+    dead = {r.doc_id for r in
+            _docs(spark, sf_dir).select("doc_id")
+            .filter(F.col("doc_id") % 17 == 3).collect()}
+    topk = wand_topk(segs, query, stats, scalars.n_docs, scalars.avgdl,
+                     k=k + 8, exclude=dead)
+    return (
+        topk.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def _wand_topk_deletes_sql(query: str, k: int = 10) -> str:
+    return f"""WITH {BASE_CTES},
+{_query_cte(query)},
+partial AS (
+  SELECT tf.doc_id, {_BM25_W} AS w
+  FROM tf JOIN q USING (term) JOIN stats s USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN consts c
+)
+SELECT doc_id, round(sum(w), 6) AS score FROM partial
+WHERE doc_id % 17 != 3
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
 def _wand_topk(query: str, k: int = 10):
     """Block-max WAND over doc-sharded segments — must match the exhaustive
     BM25 oracle SQL exactly (rank + rounded score).
@@ -1062,6 +1098,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reference_topk": _reference_topk("spark join", 10, 1000),
         "reference_topk_capped": _reference_topk("spark join", 10, 50),
         "wand_topk": _wand_topk("spark join fast", 10),
+        "wand_topk_deletes": q_wand_topk_deletes,
         "segment_roundtrip": q_segment_roundtrip,
         "merge_segments_roundtrip": q_merge_roundtrip,
         "fielded_topk": q_fielded_topk,
@@ -1113,6 +1150,7 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "reference_topk": _reference_topk_sql("spark join", 10, 1000),
         "reference_topk_capped": _reference_topk_sql("spark join", 10, 50),
         "wand_topk": _bm25_topk_sql("spark join fast", 10),
+        "wand_topk_deletes": _wand_topk_deletes_sql("spark join fast", 10),
         "segment_roundtrip": SQL_TF_POSTINGS,
         "merge_segments_roundtrip": SQL_TF_POSTINGS,
         "fielded_topk": _fielded_topk_sql("spark join fast", 10),

@@ -109,6 +109,7 @@ def _wand_shard(
     postings: list[_Postings], qf_map: dict[str, float],
     idf_map: dict[str, float], avgdl: float, k: int,
     stats: dict | None = None,
+    exclude: frozenset | None = None,
 ) -> list[tuple[int, float]]:
     """Run block-max WAND over one shard's posting lists -> local top-k.
 
@@ -159,6 +160,12 @@ def _wand_shard(
             # run. Block-max refinement: admissible because each cursor's
             # current doc lies inside its current block.
             on_pivot = [c for c in live if int(c.docs[c.pos]) == pivot_doc]
+            if exclude and pivot_doc in exclude:
+                # tombstone mask: never scored, never enters the heap;
+                # upper bounds untouched so pruning stays admissible
+                for c in on_pivot:
+                    c.pos += 1
+                continue
             block_acc = sum(c.block_ub() for c in on_pivot)
             if block_acc >= theta - _EPS:
                 if stats is not None:
@@ -195,13 +202,19 @@ def wand_topk(
     n_docs: int,
     avgdl: float,
     k: int = 10,
+    exclude: set | frozenset | None = None,
 ) -> DataFrame:
     """Top-k BM25 over doc-sharded segments with block-max WAND pruning.
 
     Plan: tiny stats lookup for the query terms (idf) -> pruned segment
     scan (term IN query terms) -> per-shard grouped-map WAND -> global
     TakeOrderedAndProject over <= shards*k rows.
+
+    ``exclude``: tombstoned GLOBAL doc_ids masked inside the kernel
+    before scoring (operators/deletes.py; a driver-sized set rides the
+    UDF closure — at cluster scale ship a bitmap/Bloom broadcast).
     """
+    exclude = frozenset(int(d) for d in exclude) if exclude else None
     qf_map = query_qf(query)
     if not qf_map:
         spark = doc_segments.sparkSession
@@ -220,7 +233,8 @@ def wand_topk(
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         postings = [_Postings(r) for r in pdf.itertuples(index=False)]
-        top = _wand_shard(postings, qf_map, idf_map, avgdl, k)
+        top = _wand_shard(postings, qf_map, idf_map, avgdl, k,
+                          exclude=exclude)
         if not top:
             return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                  "score": pd.Series([], dtype="float64")})

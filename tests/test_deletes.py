@@ -1,0 +1,128 @@
+"""Document deletion (operators/deletes.py + engine tombstones/purge).
+
+The pinned contract (deletes.py module docstring):
+
+    search(purged index) == search(original index, exclude=tombstones)
+                         == exhaustive BM25 with build-time stats over
+                            the corpus minus the deleted docs
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.engine import SearchEngine
+from searchengine_spark.operators.deletes import (
+    affected_shards,
+    purge_doc_segments,
+    shard_size_for,
+)
+from searchengine_spark.operators.segments import segments_to_tf
+from searchengine_spark.pipeline import run_build
+
+N_SHARDS = 4
+QUERY = "bababa zumuqi"
+
+
+def _ranked(df):
+    return [(int(r.doc_id), round(float(r.score), 9))
+            for r in df.orderBy(F.desc("score"), F.asc("doc_id")).collect()]
+
+
+@pytest.fixture(scope="module")
+def built(spark, small, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("delidx"))
+    run_build(spark, small, out, num_doc_partitions=3, layouts=("doc",),
+              n_shards=N_SHARDS)
+    return out
+
+
+@pytest.fixture()
+def eng(spark, built):
+    e = SearchEngine.load(spark, built)
+    p = os.path.join(built, "tombstones.json")
+    if os.path.exists(p):
+        os.remove(p)
+    return e
+
+
+def _victims(eng, k=3):
+    """Delete docs that actually occupy the baseline top-k, so masking
+    must promote new docs into the result."""
+    return [d for d, _ in _ranked(eng.search(QUERY, k=k))]
+
+
+def test_mask_excludes_and_refills(eng):
+    baseline = _ranked(eng.search(QUERY, k=10))
+    dead = _victims(eng)
+    eng.delete_docs(dead)
+    got = _ranked(eng.search(QUERY, k=10))
+    assert not set(dead) & {d for d, _ in got}
+    assert len(got) == 10  # refilled from the next-best live docs
+    # identical to exhaustive scoring with the same (pinned) stats over
+    # the live docs — scores of survivors unchanged
+    exh = _ranked(eng.search(QUERY, k=10, mode="exhaustive"))
+    assert got == exh
+    surviving_baseline = [e for e in baseline if e[0] not in set(dead)]
+    assert got[: len(surviving_baseline)] == surviving_baseline
+
+
+def test_tombstones_persist_and_accumulate(eng, spark, built):
+    eng.delete_docs([1, 2])
+    eng.delete_docs([2, 5])
+    assert eng.tombstones() == frozenset({1, 2, 5})
+    fresh = SearchEngine.load(spark, built)
+    assert fresh.tombstones() == frozenset({1, 2, 5})
+
+
+def test_purge_physical_and_rank_identical(eng):
+    dead = _victims(eng)
+    eng.delete_docs(dead)
+    masked = _ranked(eng.search(QUERY, k=10))
+
+    before = {r.shard for r in eng.doc_segments.select("shard").distinct()
+              .collect()}
+    sz = shard_size_for(eng.scalars.n_docs, N_SHARDS)
+    untouched_before = eng.doc_segments.filter(
+        ~F.col("shard").isin(list(affected_shards(set(dead), sz)))
+    ).collect()
+
+    n = eng.purge_deleted(n_shards=N_SHARDS)
+    assert n == len(dead)
+    assert eng.tombstones() == frozenset()
+
+    # physically gone from the decoded postings and the doc store
+    live = segments_to_tf(eng.doc_segments)
+    assert live.filter(F.col("doc_id").isin(dead)).count() == 0
+    assert eng.doc_map.filter(F.col("doc_id").isin(dead)).count() == 0
+
+    # untouched shards pass through value-identical
+    untouched_after = eng.doc_segments.filter(
+        ~F.col("shard").isin(list(affected_shards(set(dead), sz)))
+    ).collect()
+    assert sorted(map(repr, untouched_after)) == \
+        sorted(map(repr, untouched_before))
+    assert {r.shard for r in eng.doc_segments.select("shard").distinct()
+            .collect()} <= before
+
+    # the core identity: purged-index search == tombstone-masked search
+    assert _ranked(eng.search(QUERY, k=10)) == masked
+
+
+def test_purge_operator_composes_with_exclude(spark, eng):
+    """purge_doc_segments == wand exclude, checked at the operator level
+    over the full ranking (not just top-10)."""
+    from searchengine_spark.operators.wand import wand_topk
+
+    dead = set(_victims(eng))
+    sz_args = dict(n_docs=eng.scalars.n_docs, avgdl=eng.scalars.avgdl)
+    purged = purge_doc_segments(eng.doc_segments, dead,
+                                eng.scalars.n_docs, eng.scalars.avgdl,
+                                n_shards=N_SHARDS)
+    a = _ranked(wand_topk(purged, QUERY, eng.term_stats, k=50, **sz_args))
+    b = _ranked(wand_topk(eng.doc_segments, QUERY, eng.term_stats, k=50,
+                          exclude=dead, **sz_args))
+    assert a == b and a
