@@ -146,16 +146,22 @@ class SearchEngine:
                           mode=score_mode)
 
     def search_batch(self, queries: list[tuple[int, str]], k: int = 10) -> DataFrame:
-        """(query_id, rank, doc_id, score) for many queries in one pass."""
+        """(query_id, rank, doc_id, score) for many queries in one pass.
+        Tombstoned docs are masked like single-query search."""
         if self.doc_segments is None:
             raise ValueError("index has no doc-segment layout")
         return wand_topk_batch(self.doc_segments, queries, self.term_stats,
-                               self.scalars.n_docs, self.scalars.avgdl, k=k)
+                               self.scalars.n_docs, self.scalars.avgdl, k=k,
+                               exclude=self.tombstones() or None)
 
     def fetch(self, doc_ids: list[int]) -> DataFrame:
         """Doc-store lookup (the reference's GetTitle/wikitext seek,
-        Engine.cs:201-207) — parquet min/max pruned point reads."""
-        return self.doc_map.filter(F.col("doc_id").isin([int(d) for d in doc_ids]))
+        Engine.cs:201-207) — parquet min/max pruned point reads.
+        Tombstoned docs are not served (deleted means gone everywhere,
+        not just from rankings)."""
+        dead = self.tombstones()
+        live = [int(d) for d in doc_ids if int(d) not in dead]
+        return self.doc_map.filter(F.col("doc_id").isin(live))
 
     def search_with_docs(self, query: str, k: int = 10) -> DataFrame:
         """Ranked results joined back to turn metadata + text (broadcast of

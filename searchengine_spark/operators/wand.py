@@ -318,12 +318,14 @@ def wand_topk_batch(
     n_docs: int,
     avgdl: float,
     k: int = 10,
+    exclude: set | frozenset | None = None,
 ) -> DataFrame:
     """Many queries in one pass: per shard, posting lists are decoded ONCE
     and every query runs block-max WAND over the shared decoded lists ->
     (query_id, rank, doc_id, score). One segment scan + one shuffle-free
     grouped map for the whole query batch — the throughput path (the
     reference serves one query per HTTP request; Engine.cs:45-95)."""
+    exclude = frozenset(int(d) for d in exclude) if exclude else None
     qf_maps = {int(qid): query_qf(q) for qid, q in queries}
     all_terms = sorted({t for m in qf_maps.values() for t in m})
     if not all_terms:
@@ -344,7 +346,8 @@ def wand_topk_batch(
             qf_known = {t: v for t, v in qf_map.items() if t in idf_map}
             if not qf_known:
                 continue
-            for d, s in _wand_shard(postings, qf_known, idf_map, avgdl, k):
+            for d, s in _wand_shard(postings, qf_known, idf_map, avgdl, k,
+                                    exclude=exclude):
                 qids.append(qid)
                 docs.append(d)
                 scores.append(s)

@@ -126,3 +126,19 @@ def test_purge_operator_composes_with_exclude(spark, eng):
     b = _ranked(wand_topk(eng.doc_segments, QUERY, eng.term_stats, k=50,
                           exclude=dead, **sz_args))
     assert a == b and a
+
+
+def test_batch_and_fetch_respect_tombstones(eng):
+    dead = _victims(eng)
+    base = {(r.query_id, r.rank): r.doc_id
+            for r in eng.search_batch([(0, QUERY)], k=10).collect()}
+    eng.delete_docs(dead)
+    got = eng.search_batch([(0, QUERY)], k=10).collect()
+    assert len(got) == 10
+    assert not set(dead) & {r.doc_id for r in got}
+    # survivors keep their relative order from the pre-delete batch
+    surv = [d for (_, _), d in sorted(base.items()) if d not in set(dead)]
+    assert [r.doc_id for r in sorted(got, key=lambda r: r.rank)][:len(surv)] \
+        == surv
+    # doc-store: deleted docs are not served
+    assert eng.fetch(dead).count() == 0
