@@ -48,10 +48,16 @@ def merge_term_segments(
     avgdl_merged: float,
     df_target: int = DEFAULT_DF_TARGET,
     num_partitions: int | None = None,
+    tombstones: set | frozenset | None = None,
 ) -> DataFrame:
     """parts = [(term_segments_df, doc_offset)], doc_offset = sum of n_docs
     of all earlier parts. Returns a merged term-segment table re-encoded
-    with the merged corpus's avgdl (block-max metadata stays exact)."""
+    with the merged corpus's avgdl (block-max metadata stays exact).
+
+    ``tombstones``: GLOBAL doc_ids (post-offset space) dropped during the
+    merge — the Lucene model: the merge already decodes and re-encodes
+    every posting, so applying deletes here is free; the merged table is
+    fully purged."""
     if not parts:
         raise ValueError("no segment tables to merge")
     spark = parts[0][0].sparkSession
@@ -67,6 +73,8 @@ def merge_term_segments(
         unioned = unioned.unionByName(d)
 
     avgdl = float(avgdl_merged) if avgdl_merged else 1.0
+    dead = (np.asarray(sorted(int(d) for d in tombstones), dtype=np.int64)
+            if tombstones else None)
 
     def _merge_stream(batches):
         """Carry-over streaming merge: input sorted by term within the
@@ -82,9 +90,9 @@ def merge_term_segments(
             head = pdf.iloc[: len(pdf) - tail]
             carry = pdf.iloc[len(pdf) - tail:]
             if len(head):
-                yield _merge_frame(head, avgdl, df_target)
+                yield _merge_frame(head, avgdl, df_target, dead)
         if carry is not None and len(carry):
-            yield _merge_frame(carry, avgdl, df_target)
+            yield _merge_frame(carry, avgdl, df_target, dead)
 
     return (
         unioned.repartition(num_partitions, "term")
@@ -93,7 +101,8 @@ def merge_term_segments(
     )
 
 
-def _merge_frame(pdf: pd.DataFrame, avgdl: float, df_target: int) -> pd.DataFrame:
+def _merge_frame(pdf: pd.DataFrame, avgdl: float, df_target: int,
+                 dead: "np.ndarray | None" = None) -> pd.DataFrame:
     """Merge a frame of segment rows (sorted by term) -> re-encoded rows.
 
     Decodes each input segment, offsets docIDs, concatenates per term,
@@ -123,6 +132,11 @@ def _merge_frame(pdf: pd.DataFrame, avgdl: float, df_target: int) -> pd.DataFram
         d = np.concatenate(docs)
         t = np.concatenate(tfs)
         l = np.concatenate(dls)
+        if dead is not None and len(d):
+            live = ~np.isin(d, dead, assume_unique=False)
+            d, t, l = d[live], t[live], l[live]
+            if not len(d):
+                continue
         order = np.argsort(d, kind="stable")
         d, t, l = d[order], t[order], l[order]
         for salt, c0 in enumerate(range(0, len(d), df_target)):

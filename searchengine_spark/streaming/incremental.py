@@ -142,10 +142,14 @@ def start_incremental(
 
 
 def compact(spark: SparkSession, index_dir: str,
-            df_target: int = 100_000) -> DataFrame:
+            df_target: int = 100_000,
+            tombstones: set | frozenset | None = None) -> DataFrame:
     """Sort-merge every generation into merged/segments.parquet; returns
     the merged segment DataFrame. docIDs were assigned globally at ingest
-    (start_id), so per-part doc_offset is 0."""
+    (start_id), so per-part doc_offset is 0. ``tombstones``: doc_ids
+    physically dropped during the merge (the Lucene model — the merge
+    decodes and re-encodes every posting anyway, so deletes ride it for
+    free; operators/merge.py)."""
     state = read_state(index_dir)
     if not state["generations"]:
         raise ValueError("nothing to compact")
@@ -154,7 +158,8 @@ def compact(spark: SparkSession, index_dir: str,
         for g in state["generations"]
     ]
     avgdl = state["sum_dl"] / state["n_docs"] if state["n_docs"] else 1.0
-    merged = merge_term_segments(parts, avgdl_merged=avgdl, df_target=df_target)
+    merged = merge_term_segments(parts, avgdl_merged=avgdl,
+                                 df_target=df_target, tombstones=tombstones)
     out = os.path.join(index_dir, "merged", "segments.parquet")
     merged.write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)

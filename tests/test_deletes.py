@@ -142,3 +142,25 @@ def test_batch_and_fetch_respect_tombstones(eng):
         == surv
     # doc-store: deleted docs are not served
     assert eng.fetch(dead).count() == 0
+
+
+def test_compact_applies_tombstones(spark, small, tmp_path_factory):
+    """Incremental-index compaction drops tombstoned docs during the
+    merge (Lucene model): merged == merge-of-live-docs, and the dropped
+    ids are absent from the decoded postings."""
+    from searchengine_spark.build import build_index
+    from searchengine_spark.operators.merge import merge_term_segments
+
+    idx = build_index(small, df_target=500, layouts=("term",))
+    dead = {3, 7, 11}
+    merged = merge_term_segments([(idx.term_segments, 0)],
+                                 avgdl_merged=idx.scalars.avgdl,
+                                 df_target=500, tombstones=dead)
+    live_tf = segments_to_tf(merged)
+    assert live_tf.filter(F.col("doc_id").isin(list(dead))).count() == 0
+    # everything else survives exactly
+    orig_tf = segments_to_tf(idx.term_segments) \
+        .filter(~F.col("doc_id").isin(list(dead)))
+    a = sorted(map(tuple, live_tf.collect()))
+    b = sorted(map(tuple, orig_tf.collect()))
+    assert a == b and a
