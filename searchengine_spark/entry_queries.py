@@ -238,6 +238,27 @@ def q_merge_roundtrip(spark, sf_dir):
     )
 
 
+def q_wand_term_topk(spark, sf_dir, query: str = "spark join fast",
+                     k: int = 10):
+    """Block-max WAND over the TERM-partitioned (merged/incremental)
+    layout — wand_topk_terms: partition-pruned fetch of the query's
+    (term, salt) rows, one grouped-map WAND over the co-located lists.
+    Must equal the exhaustive BM25 oracle exactly."""
+    from searchengine_spark.operators.segments import build_term_segments
+    from searchengine_spark.operators.wand import wand_topk_terms
+
+    _, _, tf_table, stats, scalars = _index_parts(spark, sf_dir)
+    segs = build_term_segments(tf_table, stats, scalars.n_docs,
+                               scalars.avgdl, df_target=512)
+    topk = wand_topk_terms(segs, query, stats, scalars.n_docs,
+                           scalars.avgdl, k=k + 8)
+    return (
+        topk.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def q_wand_topk_deletes(spark, sf_dir, query: str = "spark join fast",
                         k: int = 10):
     """Tombstone-masked WAND (operators/deletes.py): docs with
@@ -1099,6 +1120,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reference_topk_capped": _reference_topk("spark join", 10, 50),
         "wand_topk": _wand_topk("spark join fast", 10),
         "wand_topk_deletes": q_wand_topk_deletes,
+        "wand_term_topk": q_wand_term_topk,
         "segment_roundtrip": q_segment_roundtrip,
         "merge_segments_roundtrip": q_merge_roundtrip,
         "fielded_topk": q_fielded_topk,
@@ -1151,6 +1173,7 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "reference_topk_capped": _reference_topk_sql("spark join", 10, 50),
         "wand_topk": _bm25_topk_sql("spark join fast", 10),
         "wand_topk_deletes": _wand_topk_deletes_sql("spark join fast", 10),
+        "wand_term_topk": _bm25_topk_sql("spark join fast", 10),
         "segment_roundtrip": SQL_TF_POSTINGS,
         "merge_segments_roundtrip": SQL_TF_POSTINGS,
         "fielded_topk": _fielded_topk_sql("spark join fast", 10),

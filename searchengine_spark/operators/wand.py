@@ -246,6 +246,61 @@ def wand_topk(
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def wand_topk_terms(
+    term_segments: DataFrame,
+    query: str,
+    term_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+    exclude: set | frozenset | None = None,
+) -> DataFrame:
+    """Top-k BM25 over the TERM-partitioned layout (the merged /
+    incremental index, operators/merge.py) with block-max WAND.
+
+    Term partitioning co-locates each posting list whole, so a query
+    touches exactly its terms' (term, salt) rows — a partition-pruned
+    scan of a handful of rows — and WAND runs in ONE grouped-map task
+    over them. Salted rows of a hot term are doc-disjoint slices, so one
+    cursor per row double-counts nothing; the kernel's pivot logic is
+    unchanged (it only needs doc-sorted cursors). This is the classic
+    term-partitioned query model: per-query work is O(query postings),
+    independent of corpus shard count; its known weakness (one task per
+    query) is exactly why the doc-sharded layout stays the serving path
+    and this one serves the merged index without re-sharding it.
+    """
+    exclude = frozenset(int(d) for d in exclude) if exclude else None
+    qf_map = query_qf(query)
+    spark = term_segments.sparkSession
+    if not qf_map:
+        return spark.createDataFrame([], _TOPK_SCHEMA)
+    df_rows = (
+        term_stats.filter(F.col("term").isin(list(qf_map)))
+        .select("term", "df")
+        .collect()
+    )
+    idf_map = {r["term"]: idf_np(int(r["df"]), n_docs) for r in df_rows}
+    if not idf_map:
+        return spark.createDataFrame([], _TOPK_SCHEMA)
+    matched = term_segments.filter(F.col("term").isin(list(idf_map)))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        postings = [_Postings(r) for r in pdf.itertuples(index=False)]
+        top = _wand_shard(postings, qf_map, idf_map, avgdl, k,
+                          exclude=exclude)
+        if not top:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
+        return pd.DataFrame(
+            {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
+        )
+
+    local = matched.groupBy(F.lit(0).alias("_g")).applyInPandas(
+        run, _TOPK_SCHEMA
+    )
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 _WAND_STATS_SCHEMA = T.StructType(
     [
         T.StructField("shard", T.IntegerType(), False),

@@ -280,3 +280,38 @@ def test_term_stats_from_segments_equals_postings_agg(index):
         got = {(r["term"], r["df"], r["cf"])
                for r in term_stats_from_segments(segs).collect()}
         assert got == want
+
+
+def test_wand_topk_terms_matches_exhaustive(spark, small):
+    """Term-partitioned WAND (merged/incremental layout): salted
+    doc-disjoint rows of a hot term feed one cursor each; full ranking
+    must equal exhaustive scoring, with and without tombstones."""
+    from searchengine_spark.build import build_index
+    from searchengine_spark.operators.merge import merge_term_segments
+    from searchengine_spark.operators.topk import score_topk
+    from searchengine_spark.operators.wand import wand_topk_terms
+
+    idx = build_index(small, df_target=64, layouts=("term",))  # forces salts
+    q = "bababa zumuqi"
+
+    def ranked(df, k=40):
+        return [(int(r.doc_id), round(float(r.score), 9)) for r in
+                df.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+                .collect()]
+
+    exh = ranked(score_topk(idx.tf_table, idx.term_stats, idx.scalars, q, k=40))
+    got = ranked(wand_topk_terms(idx.term_segments, q, idx.term_stats,
+                                 idx.scalars.n_docs, idx.scalars.avgdl,
+                                 k=40))
+    assert got == exh and got
+
+    # over a MERGED table (the incremental serving path) + tombstones
+    merged = merge_term_segments([(idx.term_segments, 0)],
+                                 avgdl_merged=idx.scalars.avgdl,
+                                 df_target=64)
+    dead = {d for d, _ in got[:3]}
+    got_m = ranked(wand_topk_terms(merged, q, idx.term_stats,
+                                   idx.scalars.n_docs, idx.scalars.avgdl,
+                                   k=40, exclude=dead))
+    want = [e for e in exh if e[0] not in dead]
+    assert got_m[: len(want)] == want and got_m
