@@ -29,7 +29,11 @@ from pyspark.sql import functions as F
 from searchengine_spark.operators.forward import CorpusScalars
 from searchengine_spark.operators.ingest import tf_from_doc_map
 from searchengine_spark.operators.topk import score_topk
-from searchengine_spark.operators.wand import wand_topk, wand_topk_batch
+from searchengine_spark.operators.wand import (
+    wand_topk,
+    wand_topk_batch,
+    wand_topk_terms,
+)
 
 
 @dataclass
@@ -40,6 +44,7 @@ class SearchEngine:
     term_stats: DataFrame
     scalars: CorpusScalars
     doc_segments: DataFrame | None
+    term_segments: DataFrame | None = None
 
     @staticmethod
     def load(spark: SparkSession, index_dir: str,
@@ -51,6 +56,9 @@ class SearchEngine:
             stats = stats.cache()
         seg_path = os.path.join(index_dir, "doc_segments.parquet")
         segs = spark.read.parquet(seg_path) if os.path.exists(seg_path) else None
+        term_path = os.path.join(index_dir, "term_segments.parquet")
+        tsegs = (spark.read.parquet(term_path)
+                 if os.path.exists(term_path) else None)
         return SearchEngine(
             spark=spark,
             index_dir=index_dir,
@@ -60,6 +68,7 @@ class SearchEngine:
                 n_docs=s["n_docs"], avgdl=s["avgdl"], sum_dl=s["sum_dl"]
             ),
             doc_segments=segs,
+            term_segments=tsegs,
         )
 
     # -- deletes (tombstone mask now, physical purge at compaction) ------
@@ -129,9 +138,23 @@ class SearchEngine:
     def search(self, query: str, k: int = 10, mode: str = "wand") -> DataFrame:
         """Top-k (doc_id, score). mode: "wand" (block-max pruned, default),
         "exhaustive" (relational verification path), "reference" (the
-        reference formula incl. its 1000-posting cap). Tombstoned docs
-        are masked in every mode."""
+        reference formula incl. its 1000-posting cap), "term" (block-max
+        WAND over the term-partitioned layout — the merged/incremental
+        serving path, operators/wand.py wand_topk_terms). Tombstoned
+        docs are masked in every mode. mode="wand" silently falls back
+        to the term layout when only that layout exists (an index built
+        by streaming compaction)."""
         dead = self.tombstones()
+        if mode == "wand" and self.doc_segments is None \
+                and self.term_segments is not None:
+            mode = "term"
+        if mode == "term":
+            if self.term_segments is None:
+                raise ValueError("index has no term-segment layout")
+            return wand_topk_terms(self.term_segments, query,
+                                   self.term_stats, self.scalars.n_docs,
+                                   self.scalars.avgdl, k=k,
+                                   exclude=dead or None)
         if mode == "wand":
             if self.doc_segments is None:
                 raise ValueError("index has no doc-segment layout")

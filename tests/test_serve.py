@@ -62,3 +62,32 @@ def test_bad_mode_is_400(served):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(f"{base}/search?q=x&mode=bogus")
     assert ei.value.code == 400
+
+
+def test_engine_term_mode_matches_wand(spark, small, tmp_path_factory):
+    """mode='term' (term-partitioned WAND over the merged/incremental
+    layout) ranks identically to the doc-sharded WAND path; an index
+    with ONLY the term layout is served transparently."""
+    from searchengine_spark.pipeline import run_build
+
+    out = str(tmp_path_factory.mktemp("termidx"))
+    run_build(spark, small, out, num_doc_partitions=3,
+              layouts=("doc", "term"))
+    eng = SearchEngine.load(spark, out)
+    q = "bababa zumuqi"
+
+    def ranked(df):
+        return [(int(r.doc_id), round(float(r.score), 9))
+                for r in df.collect()]
+
+    assert ranked(eng.search(q, k=15, mode="term")) == \
+        ranked(eng.search(q, k=15, mode="wand"))
+
+    # doc layout absent -> mode="wand" silently serves via term layout
+    import os as _os
+    import shutil as _sh
+    _sh.rmtree(_os.path.join(out, "doc_segments.parquet"))
+    eng2 = SearchEngine.load(spark, out)
+    assert eng2.doc_segments is None and eng2.term_segments is not None
+    assert ranked(eng2.search(q, k=15)) == \
+        ranked(eng.search(q, k=15, mode="term"))
