@@ -1063,6 +1063,29 @@ SELECT user_id, session_seq::BIGINT AS session_seq,
 FROM sess GROUP BY 1, 2"""
 
 
+def q_sessionized_counts_bucketed(spark, sf_dir, gap_minutes: int = 30):
+    """Same rollup as sessionized_counts but through the SKEW-SAFE
+    two-phase sessionizer (operators/events.py sessionize_bucketed:
+    (user, time-bucket) windows + summary-table stitching — no
+    single-user partition ever exists). Same oracle: the two must be
+    bit-identical."""
+    from searchengine_spark.operators.events import _us, sessionize_bucketed
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = (
+        sessionize_bucketed(events, gap_minutes=gap_minutes,
+                            bucket_hours=24)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            (_us(F.max("ts")) - _us(F.min("ts"))).alias("duration_us"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+    return out.select("user_id", "session_seq", "n_events", "duration_us",
+                      "sum_value")
+
+
 def q_user_top_events(spark, sf_dir, n: int = 2):
     """Per-key top-N (row_number + filter; rank-pushdown keeps only the
     running top-N per task — no full per-user sort materializes)."""
@@ -1155,6 +1178,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming (batch twin of the watermarked windowed agg)
         "windowed_counts": q_windowed_counts,
         "sessionized_counts": q_sessionized_counts,
+        "sessionized_counts_bucketed": q_sessionized_counts_bucketed,
         "user_top_events": q_user_top_events,
         "event_props_stats": q_event_props_stats,
     }
@@ -1203,6 +1227,7 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "video_frame_sample": SQL_VIDEO_FRAME_SAMPLE,
         "windowed_counts": SQL_WINDOWED_COUNTS,
         "sessionized_counts": SQL_SESSIONIZED_COUNTS,
+        "sessionized_counts_bucketed": SQL_SESSIONIZED_COUNTS,
         "user_top_events": SQL_USER_TOP_EVENTS,
         "event_props_stats": SQL_EVENT_PROPS_STATS,
     }

@@ -100,3 +100,85 @@ def test_import_without_spark_context():
     import searchengine_spark.operators.events as m
 
     importlib.reload(m)
+
+
+def _mk_events(spark, rows):
+    """rows = [(event_id, minutes_offset, user_id)]"""
+    data = [(int(i), _ts(float(m)), int(u), "view", float(i), "{}")
+            for i, m, u in rows]
+    return spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+
+def _assign(df):
+    return {r.event_id: r.session_seq for r in df.collect()}
+
+
+def test_sessionize_bucketed_equals_plain(spark):
+    """Skew-safe two-phase sessionization is bit-identical to the plain
+    single-window version on adversarial layouts: a session spanning 3+
+    buckets, boundary-exact gaps, single-event buckets, empty buckets
+    between sessions (bucket width 1 h, gap 30 min)."""
+    from searchengine_spark.operators.events import (
+        sessionize,
+        sessionize_bucketed,
+    )
+
+    rows = [
+        # u1: one session crossing THREE hourly buckets (events every
+        # 25 min from 0:40 to 3:10), then a gap, then a new session
+        *[(i, 40 + 25 * i, 1) for i in range(7)],        # 0:40..3:10
+        (7, 60 * 6, 1),                                   # 6:00 new
+        # u2: boundary-exact gap (exactly 30 min stays SAME session)
+        (10, 50, 2), (11, 80, 2),                         # same
+        (12, 80 + 31, 2),                                 # 31 min -> new
+        # u3: single events in far-apart buckets
+        (20, 10, 3), (21, 60 * 48 + 10, 3),
+        # u4: dense run inside one bucket
+        *[(30 + i, 5 * 60 + i, 4) for i in range(10)],
+    ]
+    ev = _mk_events(spark, rows)
+    plain = _assign(sessionize(ev, gap_minutes=30))
+    bucketed = _assign(sessionize_bucketed(ev, gap_minutes=30,
+                                           bucket_hours=1))
+    assert bucketed == plain
+    # sanity on the interesting case: u1's 7 events are ONE session
+    assert len({plain[i] for i in range(7)}) == 1
+    assert plain[7] == plain[0] + 1
+    assert plain[10] == plain[11] and plain[12] == plain[11] + 1
+
+
+def test_sessionize_bucketed_random_equivalence(spark):
+    """Seeded random fuzz: 400 events, 6 users, random minute offsets —
+    bucketed == plain at two bucket widths."""
+    import random
+
+    from searchengine_spark.operators.events import (
+        sessionize,
+        sessionize_bucketed,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, rng.uniform(0, 60 * 72), rng.randint(1, 6))
+            for i in range(400)]
+    ev = _mk_events(spark, rows)
+    plain = _assign(sessionize(ev, gap_minutes=45))
+    for bh in (1, 24):
+        got = _assign(sessionize_bucketed(ev, gap_minutes=45,
+                                          bucket_hours=bh))
+        assert got == plain, f"bucket_hours={bh}"
+
+
+def test_sessionize_bucketed_no_user_only_window(spark):
+    """The heavy phase must window by (user_id, bucket) — the per-user-
+    only window may touch only the summary table (one row per
+    user-bucket). Assert the events-sized Window node includes the
+    bucket column."""
+    from searchengine_spark.operators.events import sessionize_bucketed
+
+    ev = _mk_events(spark, [(0, 1.0, 1), (1, 2.0, 1)])
+    plan = sessionize_bucketed(ev)._jdf.queryExecution().optimizedPlan() \
+        .toString()
+    first_window = plan[plan.index("Window"):plan.index("Window") + 400]
+    assert "_bkt" in first_window
