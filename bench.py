@@ -671,6 +671,21 @@ def query_bench(spark) -> tuple[dict, dict]:
         signatures=sigs).collect())
     sigs.unpersist()
 
+    # event-stream operators (sessionization at scale is window-bound:
+    # the skew-safe two-phase variant is the one that must stay fast)
+    from searchengine_spark.operators.events import (
+        session_rollup,
+        sessionize_bucketed,
+    )
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").persist()
+    events.count()
+    timed("sessionize_rollup", lambda: session_rollup(events).count())
+    timed("sessionize_bucketed", lambda: (
+        sessionize_bucketed(events).groupBy("user_id", "session_seq")
+        .count().count()))
+    events.unpersist()
+
     docs.unpersist()
     return timings, {"corpus_docs": n_docs_corpus, "wand_pruning": wand_stats,
                      "skew": skew_stats}
