@@ -163,3 +163,42 @@ def compact(spark: SparkSession, index_dir: str,
     out = os.path.join(index_dir, "merged", "segments.parquet")
     merged.write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
+
+
+def export_for_serving(spark: SparkSession, index_dir: str,
+                       out_dir: str) -> str:
+    """Turn a compacted incremental index into a SearchEngine-loadable
+    directory (engine.py): term_segments.parquet (the merged table,
+    copied as-is), term_stats.parquet (df/cf recomputed from the LIVE
+    merged postings, so tombstoned docs are gone from idf), doc_map
+    (doc_id + dl reconstructed from the postings — the incremental path
+    stores no per-turn metadata), and scalars.json PINNED to the
+    ingest-time state: the merge re-encoded block maxes with the state
+    avgdl, so serving must score with that same avgdl for block-max
+    admissibility (query-time core grows with avgdl; a larger serving
+    avgdl would let true scores exceed the stored upper bounds)."""
+    import json as _json
+
+    from searchengine_spark.operators.forward import build_term_stats
+    from searchengine_spark.operators.segments import segments_to_tf
+
+    state = read_state(index_dir)
+    merged_path = os.path.join(index_dir, "merged", "segments.parquet")
+    if not os.path.exists(merged_path):
+        raise ValueError("compact() the index before exporting")
+    merged = spark.read.parquet(merged_path)
+    os.makedirs(out_dir, exist_ok=True)
+    merged.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "term_segments.parquet"))
+    tf = segments_to_tf(merged).persist()
+    build_term_stats(tf.select("term", "doc_id", "tf")).write \
+        .mode("overwrite") \
+        .parquet(os.path.join(out_dir, "term_stats.parquet"))
+    tf.select("doc_id", "dl").distinct().write.mode("overwrite") \
+        .parquet(os.path.join(out_dir, "doc_map.parquet"))
+    tf.unpersist()
+    with open(os.path.join(out_dir, "scalars.json"), "w") as f:
+        _json.dump({"n_docs": state["n_docs"], "sum_dl": state["sum_dl"],
+                    "avgdl": (state["sum_dl"] / state["n_docs"]
+                              if state["n_docs"] else 1.0)}, f)
+    return out_dir

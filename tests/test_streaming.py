@@ -247,3 +247,45 @@ def test_stream_sessionize_stateful(spark, tmp_path_factory):
                     r.n_events, r.sum_value)
                    for r in twin.collect() if r.session_end + gap <= wm}
     assert twin_closed == got
+
+
+def test_incremental_to_engine_serving(spark, stream_dirs, tmp_path_factory):
+    """Round-2 composition: streamed generations -> tombstoned
+    compaction -> export_for_serving -> SearchEngine serves the merged
+    term layout (mode auto-falls-back to "term"), with deleted docs gone
+    and ranking equal to exhaustive scoring over the exported stats."""
+    from searchengine_spark.engine import SearchEngine
+    from searchengine_spark.operators.forward import CorpusScalars
+    from searchengine_spark.operators.topk import score_topk
+    from searchengine_spark.streaming.incremental import (
+        compact,
+        export_for_serving,
+    )
+
+    inp, idx, ckpt, corpus, batches = stream_dirs
+    # self-sufficient: run the incremental build if this test runs alone
+    # (in-file order it reuses the state the earlier tests built)
+    if not read_state(idx)["generations"]:
+        q0 = start_incremental(spark, f"{inp}/*/", idx, ckpt,
+                               available_now=True, df_target=64)
+        q0.awaitTermination(300)
+    dead = {2, 5, 9}
+    compact(spark, idx, df_target=64, tombstones=dead)
+    out = str(tmp_path_factory.mktemp("served_inc"))
+    export_for_serving(spark, idx, out)
+
+    eng = SearchEngine.load(spark, out)
+    assert eng.doc_segments is None and eng.term_segments is not None
+
+    q = "bababa dibaba"
+    got = [(int(r.doc_id), round(float(r.score), 9))
+           for r in eng.search(q, k=25).collect()]
+    assert got and not {d for d, _ in got} & dead
+
+    from searchengine_spark.operators.segments import segments_to_tf
+
+    exh = score_topk(segments_to_tf(eng.term_segments),
+                     eng.term_stats, eng.scalars, q, k=25)
+    want = [(int(r.doc_id), round(float(r.score), 9))
+            for r in exh.collect()]
+    assert got == want
