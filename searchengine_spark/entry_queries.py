@@ -1028,6 +1028,37 @@ SQL_WINDOWED_COUNTS = """SELECT
 FROM events GROUP BY 1, 2"""
 
 
+def q_suggest_prefix(spark, sf_dir, prefix: str = "s", k: int = 10):
+    """Autocomplete over the term dictionary (operators/lexicon.py):
+    contiguous-range prefix filter + df-ranked top-k."""
+    from searchengine_spark.operators.lexicon import suggest_prefix
+
+    _, _, _, stats, _ = _index_parts(spark, sf_dir)
+    return suggest_prefix(stats, prefix, k=k)
+
+
+SQL_SUGGEST_PREFIX = f"""WITH {BASE_CTES}
+SELECT term, df FROM stats WHERE term LIKE 's%'
+ORDER BY df DESC, term ASC LIMIT 10"""
+
+
+def q_did_you_mean(spark, sf_dir, term: str = "sar", k: int = 5):
+    """Spelling suggestion: levenshtein <= 2 over the lexicon with a
+    pushed-down length pre-filter, ranked (distance, df)."""
+    from searchengine_spark.operators.lexicon import did_you_mean
+
+    _, _, _, stats, _ = _index_parts(spark, sf_dir)
+    return did_you_mean(stats, term, k=k)
+
+
+SQL_DID_YOU_MEAN = f"""WITH {BASE_CTES}
+SELECT term, levenshtein(term, 'sar')::BIGINT AS dist, df
+FROM stats
+WHERE abs(length(term) - 3) <= 2
+  AND levenshtein(term, 'sar') <= 2 AND term != 'sar'
+ORDER BY dist ASC, df DESC, term ASC LIMIT 5"""
+
+
 def q_sessionized_counts(spark, sf_dir, gap_minutes: int = 30):
     """Gap-based sessionization rollup (operators/events.py sessionize):
     one shuffle on user_id, lag + running-sum windows sharing the
@@ -1177,6 +1208,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_sample": q_video_frame_sample,
         # streaming (batch twin of the watermarked windowed agg)
         "windowed_counts": q_windowed_counts,
+        "suggest_prefix": q_suggest_prefix,
+        "did_you_mean": q_did_you_mean,
         "sessionized_counts": q_sessionized_counts,
         "sessionized_counts_bucketed": q_sessionized_counts_bucketed,
         "user_top_events": q_user_top_events,
@@ -1226,6 +1259,8 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "media_resize": SQL_MEDIA_RESIZE,
         "video_frame_sample": SQL_VIDEO_FRAME_SAMPLE,
         "windowed_counts": SQL_WINDOWED_COUNTS,
+        "suggest_prefix": SQL_SUGGEST_PREFIX,
+        "did_you_mean": SQL_DID_YOU_MEAN,
         "sessionized_counts": SQL_SESSIONIZED_COUNTS,
         "sessionized_counts_bucketed": SQL_SESSIONIZED_COUNTS,
         "user_top_events": SQL_USER_TOP_EVENTS,

@@ -130,3 +130,26 @@ def test_query_terms_qf(spark):
         (r["term"], r["qf"]) for r in query_terms_df(spark, "a b a don't").collect()
     }
     assert got == {("a", 2), ("b", 1), ("don", 1), ("t", 1)}
+
+
+def test_lexicon_suggestions(spark, small):
+    """Prefix autocomplete + did-you-mean over the term dictionary
+    (operators/lexicon.py): ranking rules and the length pre-filter."""
+    from searchengine_spark.build import build_index
+    from searchengine_spark.operators.lexicon import did_you_mean, suggest_prefix
+
+    idx = build_index(small, layouts=())
+    sugg = suggest_prefix(idx.term_stats, "ba", k=5).collect()
+    assert sugg and all(r.term.startswith("ba") for r in sugg)
+    dfs = [r.df for r in sugg]
+    assert dfs == sorted(dfs, reverse=True)
+
+    # typo one edit from a real high-df term
+    target = sugg[0].term                     # e.g. "bababa"
+    typo = target[:-1] + ("x" if target[-1] != "x" else "y")
+    dym = did_you_mean(idx.term_stats, typo, k=5).collect()
+    assert dym and dym[0].term == target and dym[0].dist == 1
+    assert typo not in {r.term for r in dym}
+    assert all(r.dist <= 2 for r in dym)
+    order = [(r.dist, -r.df, r.term) for r in dym]
+    assert order == sorted(order)
