@@ -110,6 +110,19 @@ class SearchEngine:
         dead = self.tombstones()
         if not dead:
             return 0
+        import shutil
+
+        def _swap(live_dir: str, new_dir: str) -> None:
+            # crash-safe swap: rename-aside, rename-in, then delete —
+            # at no instant is the live path absent without a complete
+            # replacement one rename away (a plain rmtree+rename loses
+            # the index if the process dies between the two)
+            old = live_dir + ".old"
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(live_dir, old)
+            os.rename(new_dir, live_dir)
+            shutil.rmtree(old, ignore_errors=True)
+
         seg_dir = os.path.join(self.index_dir, "doc_segments.parquet")
         new_dir = seg_dir + ".purge"
         purged = purge_doc_segments(
@@ -117,17 +130,13 @@ class SearchEngine:
             self.scalars.avgdl, n_shards=n_shards,
         )
         purged.write.mode("overwrite").parquet(new_dir)
-        import shutil
-
-        shutil.rmtree(seg_dir)
-        os.rename(new_dir, seg_dir)
+        _swap(seg_dir, new_dir)
         map_dir = os.path.join(self.index_dir, "doc_map.parquet")
         new_map = map_dir + ".purge"
         self.doc_map.filter(
             ~F.col("doc_id").isin([int(d) for d in dead])
         ).write.mode("overwrite").parquet(new_map)
-        shutil.rmtree(map_dir)
-        os.rename(new_map, map_dir)
+        _swap(map_dir, new_map)
         os.remove(self._tombstone_path())
         self.doc_segments = self.spark.read.parquet(seg_dir)
         self.doc_map = self.spark.read.parquet(map_dir)
