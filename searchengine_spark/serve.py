@@ -11,6 +11,8 @@ same lifecycle is a stdlib ``ThreadingHTTPServer`` in front of
         -> {"query": ..., "k": ..., "took_ms": ..., "results":
             [{"doc_id": ..., "score": ...}, ...]}
     GET /doc?id=123      -> the doc-store row (text + turn metadata)
+    GET /suggest?prefix=re&k=5   -> autocomplete over the lexicon
+    GET /suggest?term=sprak&k=5  -> did-you-mean (levenshtein <= 2)
     GET /healthz         -> {"status": "ok", "n_docs": N}
 
 Spark's driver is single-process, so request handlers serialize their
@@ -91,6 +93,31 @@ def make_handler(engine: SearchEngine, lock: threading.Lock):
                         if k in ("doc_id", "conv_id", "turn_idx", "role",
                                  "ts", "text", "dl")
                     })
+                elif url.path == "/suggest":
+                    from searchengine_spark.operators.lexicon import (
+                        did_you_mean,
+                        suggest_prefix,
+                    )
+
+                    prefix = (qs.get("prefix") or [None])[0]
+                    term = (qs.get("term") or [None])[0]
+                    k = int((qs.get("k") or ["5"])[0])
+                    if (prefix is None) == (term is None):
+                        self._reply(400, {"error":
+                                          "pass exactly one of prefix|term"})
+                        return
+                    with lock:
+                        if prefix is not None:
+                            rows = suggest_prefix(engine.term_stats,
+                                                  prefix, k=k).collect()
+                            out = [{"term": r["term"], "df": int(r["df"])}
+                                   for r in rows]
+                        else:
+                            rows = did_you_mean(engine.term_stats,
+                                                term, k=k).collect()
+                            out = [{"term": r["term"], "dist": int(r["dist"]),
+                                    "df": int(r["df"])} for r in rows]
+                    self._reply(200, {"suggestions": out})
                 else:
                     self._reply(404, {"error": "unknown path"})
             except Exception as e:  # surface errors as JSON, keep serving

@@ -91,3 +91,19 @@ def test_engine_term_mode_matches_wand(spark, small, tmp_path_factory):
     assert eng2.doc_segments is None and eng2.term_segments is not None
     assert ranked(eng2.search(q, k=15)) == \
         ranked(eng.search(q, k=15, mode="term"))
+
+
+def test_suggest_endpoints(served):
+    eng, base = served
+    status, body = _get(f"{base}/suggest?prefix=ba&k=3")
+    assert status == 200 and body["suggestions"]
+    assert all(s["term"].startswith("ba") for s in body["suggestions"])
+    top = body["suggestions"][0]["term"]
+    typo = top[:-1] + "x"
+    status, body = _get(f"{base}/suggest?term={typo}&k=3")
+    assert status == 200
+    assert body["suggestions"][0]["term"] == top
+    assert body["suggestions"][0]["dist"] == 1
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(f"{base}/suggest?k=3")
+    assert ei.value.code == 400
