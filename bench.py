@@ -686,6 +686,38 @@ def query_bench(spark) -> tuple[dict, dict]:
         .count().count()))
     events.unpersist()
 
+    # skew case: ONE user owns 90% of 4M events. Plain sessionize puts
+    # that user's 3.6M rows in a single window task — a wall-clock floor
+    # no cluster size can shrink (at corpus scale: an OOM/straggler) —
+    # while the bucketed variant splits him across time buckets, so its
+    # wall scales with cores. At this local size the mega-task is only
+    # ~2 s of sort, so the recorded pair sits near the crossover
+    # (bucketed modestly ahead warm); the asymptotic claim is carried by
+    # the plan assertion (heavy window keyed by (user, bucket)) and the
+    # bit-identity tests, this pair documents the measured overhead.
+    n_sk, par_sk = 4_000_000, int(CPUS)
+    skewed = (
+        spark.range(0, n_sk, 1, par_sk)
+        .select(
+            F.col("id").alias("event_id"),
+            F.timestamp_micros(
+                F.lit(1704067200000000).cast("long")
+                + F.col("id") * F.lit(90000000).cast("long")).alias("ts"),
+            F.when(F.col("id") % 10 < 9, 0)
+            .otherwise((F.col("id") % 1000) + 1).cast("long")
+            .alias("user_id"),
+            F.lit("view").alias("event_type"),
+            (F.col("id") % 100).cast("double").alias("value"),
+            F.lit("{}").alias("props"),
+        ).persist()
+    )
+    skewed.count()
+    timed("sessionize_skew_plain", lambda: session_rollup(skewed).count())
+    timed("sessionize_skew_bucketed", lambda: (
+        sessionize_bucketed(skewed, bucket_hours=24)
+        .groupBy("user_id", "session_seq").count().count()))
+    skewed.unpersist()
+
     docs.unpersist()
     return timings, {"corpus_docs": n_docs_corpus, "wand_pruning": wand_stats,
                      "skew": skew_stats}

@@ -7,7 +7,7 @@ renders results (SearchEngine Engine/Engine/Engine.cs:32-96). Here the
 same lifecycle is a stdlib ``ThreadingHTTPServer`` in front of
 ``engine.SearchEngine`` (load once, serve many):
 
-    GET /search?q=words&k=10[&mode=wand|exhaustive|reference]
+    GET /search?q=words&k=10[&mode=wand|term|exhaustive|reference]
         -> {"query": ..., "k": ..., "took_ms": ..., "results":
             [{"doc_id": ..., "score": ...}, ...]}
     GET /doc?id=123      -> the doc-store row (text + turn metadata)
@@ -32,7 +32,7 @@ from urllib.parse import parse_qs, urlparse
 
 from searchengine_spark.engine import SearchEngine
 
-_MODES = {"wand", "exhaustive", "reference"}
+_MODES = {"wand", "term", "exhaustive", "reference"}
 
 
 def _json_bytes(obj) -> bytes:
