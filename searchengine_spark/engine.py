@@ -195,6 +195,35 @@ class SearchEngine:
         live = [int(d) for d in doc_ids if int(d) not in dead]
         return self.doc_map.filter(F.col("doc_id").isin(live))
 
+    def search_convs(self, query: str, k: int = 10,
+                     turns_k: int = 200, agg: str = "max") -> DataFrame:
+        """Conversation-level retrieval: run turn-level top-``turns_k``
+        (WAND, over-fetched), join conv_ids from the doc store
+        (broadcast of the turns_k-row side), aggregate per conversation
+        (``agg``: "max" = best turn, "sum" = evidence accumulation),
+        return the top-``k`` conversations with their best turn.
+
+        The aggregation happens on <= turns_k rows on the driver-side
+        plan, never on the corpus: conversation ranking costs the same
+        as the underlying turn query."""
+        if "conv_id" not in self.doc_map.columns:
+            raise ValueError("index's doc store has no conv_id column")
+        turns = self.search(query, k=turns_k)
+        joined = self.doc_map.select("doc_id", "conv_id").join(
+            F.broadcast(turns), "doc_id")
+        agg_col = (F.max("score") if agg == "max"
+                   else F.sum("score")).alias("conv_score")
+        best = F.max(F.struct("score", "doc_id")).alias("_best")
+        return (
+            joined.groupBy("conv_id")
+            .agg(agg_col, best, F.count("*").alias("n_matching_turns"))
+            .select("conv_id", "conv_score",
+                    F.col("_best.doc_id").alias("best_doc_id"),
+                    "n_matching_turns")
+            .orderBy(F.desc("conv_score"), F.asc("conv_id"))
+            .limit(k)
+        )
+
     def search_with_docs(self, query: str, k: int = 10) -> DataFrame:
         """Ranked results joined back to turn metadata + text (broadcast of
         the k-row side; the reference's result rendering path)."""

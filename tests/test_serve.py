@@ -107,3 +107,38 @@ def test_suggest_endpoints(served):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(f"{base}/suggest?k=3")
     assert ei.value.code == 400
+
+
+def test_search_convs(served):
+    """Conversation-level retrieval: per-conv score is the max/sum of its
+    turn scores; best_doc_id is the top turn; equivalent to a manual
+    rollup of the turn-level result."""
+    import collections
+
+    from pyspark.sql import functions as F
+
+    eng, _ = served
+    q = "bababa zumuqi"
+    turns = eng.search(q, k=200).collect()
+    doc_conv = {r.doc_id: r.conv_id for r in
+                eng.doc_map.select("doc_id", "conv_id").collect()}
+    by_conv = collections.defaultdict(list)
+    for r in turns:
+        by_conv[doc_conv[r.doc_id]].append((r.score, r.doc_id))
+
+    got = eng.search_convs(q, k=5, agg="max").collect()
+    assert len(got) == 5
+    want = sorted(((max(s for s, _ in v), c) for c, v in by_conv.items()),
+                  key=lambda x: (-x[0], x[1]))[:5]
+    assert [(round(r.conv_score, 9), r.conv_id) for r in got] == \
+        [(round(s, 9), c) for s, c in want]
+    for r in got:
+        scores = by_conv[r.conv_id]
+        assert r.n_matching_turns == len(scores)
+        assert r.best_doc_id == max(scores)[1]
+
+    got_sum = eng.search_convs(q, k=5, agg="sum").collect()
+    want_sum = sorted(((sum(s for s, _ in v), c) for c, v in by_conv.items()),
+                      key=lambda x: (-x[0], x[1]))[:5]
+    assert [(round(r.conv_score, 6), r.conv_id) for r in got_sum] == \
+        [(round(s, 6), c) for s, c in want_sum]
