@@ -177,6 +177,17 @@ class SearchEngine:
         return score_topk(tf, self.term_stats, self.scalars, query, k=k,
                           mode=score_mode)
 
+    def search_boolean(self, query: str, k: int = 10) -> DataFrame:
+        """``spark +join -slow``: BM25 over plain and '+' terms, every
+        '+' term required, docs with any '-' term excluded
+        (operators/boolquery.py). Tombstones masked."""
+        from searchengine_spark.operators.boolquery import boolean_topk
+        from searchengine_spark.operators.deletes import exclude_tf
+
+        tf = exclude_tf(tf_from_doc_map(self.doc_map),
+                        set(self.tombstones()))
+        return boolean_topk(tf, self.term_stats, self.scalars, query, k=k)
+
     def search_batch(self, queries: list[tuple[int, str]], k: int = 10) -> DataFrame:
         """(query_id, rank, doc_id, score) for many queries in one pass.
         Tombstoned docs are masked like single-query search."""

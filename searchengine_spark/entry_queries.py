@@ -1028,6 +1028,39 @@ SQL_WINDOWED_COUNTS = """SELECT
 FROM events GROUP BY 1, 2"""
 
 
+def q_boolean_topk(spark, sf_dir,
+                   query: str = "spark join +fast -slow", k: int = 10):
+    """MUST/NOT boolean retrieval (operators/boolquery.py): BM25 over
+    the scored terms, every '+' term required (semi-join gate), docs
+    with any '-' term excluded (anti-join)."""
+    from searchengine_spark.operators.boolquery import boolean_topk
+
+    _, _, tf_table, stats, scalars = _index_parts(spark, sf_dir)
+    out = boolean_topk(tf_table, stats, scalars, query, k=k)
+    return (
+        out.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+SQL_BOOLEAN_TOPK = f"""WITH {BASE_CTES},
+{_query_cte("spark join fast")},
+partial AS (
+  SELECT tf.doc_id, {_BM25_W} AS w
+  FROM tf JOIN q USING (term) JOIN stats s USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN consts c
+),
+scored AS (SELECT doc_id, sum(w) AS score FROM partial GROUP BY doc_id),
+must_ok AS (SELECT doc_id FROM tf WHERE term IN ('fast')
+            GROUP BY doc_id HAVING count(DISTINCT term) = 1),
+excl AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'slow')
+SELECT s.doc_id, round(s.score, 6) AS score
+FROM scored s JOIN must_ok USING (doc_id)
+WHERE s.doc_id NOT IN (SELECT doc_id FROM excl)
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
+
 def q_suggest_prefix(spark, sf_dir, prefix: str = "s", k: int = 10):
     """Autocomplete over the term dictionary (operators/lexicon.py):
     contiguous-range prefix filter + df-ranked top-k."""
@@ -1208,6 +1241,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_sample": q_video_frame_sample,
         # streaming (batch twin of the watermarked windowed agg)
         "windowed_counts": q_windowed_counts,
+        "boolean_topk": q_boolean_topk,
         "suggest_prefix": q_suggest_prefix,
         "did_you_mean": q_did_you_mean,
         "sessionized_counts": q_sessionized_counts,
@@ -1259,6 +1293,7 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "media_resize": SQL_MEDIA_RESIZE,
         "video_frame_sample": SQL_VIDEO_FRAME_SAMPLE,
         "windowed_counts": SQL_WINDOWED_COUNTS,
+        "boolean_topk": SQL_BOOLEAN_TOPK,
         "suggest_prefix": SQL_SUGGEST_PREFIX,
         "did_you_mean": SQL_DID_YOU_MEAN,
         "sessionized_counts": SQL_SESSIONIZED_COUNTS,

@@ -153,3 +153,38 @@ def test_lexicon_suggestions(spark, small):
     assert all(r.dist <= 2 for r in dym)
     order = [(r.dist, -r.df, r.term) for r in dym]
     assert order == sorted(order)
+
+
+def test_boolean_query_semantics(spark, small):
+    """MUST/NOT gating (operators/boolquery.py): every result contains
+    all '+' terms and no '-' term; scores equal plain BM25 over the
+    scored terms; parse edge cases pinned."""
+    from collections import Counter
+
+    from searchengine_spark.build import build_index
+    from searchengine_spark.functions.tokenize import tokenize_py
+    from searchengine_spark.operators.boolquery import boolean_topk, parse_query
+    from searchengine_spark.operators.topk import score_all
+
+    should, must, must_not = parse_query("bababa +zumuqi -dibaba +zumuqi")
+    assert should == Counter({"bababa": 1, "zumuqi": 2})
+    assert must == {"zumuqi"} and must_not == {"dibaba"}
+    # excluded wins over required/scored
+    s2, m2, n2 = parse_query("+foo -foo bar")
+    assert s2 == Counter({"bar": 1}) and m2 == set() and n2 == {"foo"}
+
+    idx = build_index(small, layouts=())
+    got = boolean_topk(idx.tf_table, idx.term_stats, idx.scalars,
+                       "bababa +zumuqi -dibaba", k=20).collect()
+    assert got
+    doc_terms = {}
+    for r in idx.tf_table.select("doc_id", "term").collect():
+        doc_terms.setdefault(r.doc_id, set()).add(r.term)
+    for r in got:
+        assert "zumuqi" in doc_terms[r.doc_id]
+        assert "dibaba" not in doc_terms[r.doc_id]
+    # scores match plain BM25 over the scored terms for the same docs
+    plain = {r.doc_id: r.score for r in score_all(
+        idx.tf_table, idx.term_stats, idx.scalars, "bababa zumuqi").collect()}
+    for r in got:
+        assert abs(plain[r.doc_id] - r.score) < 1e-9
