@@ -1028,6 +1028,54 @@ SQL_WINDOWED_COUNTS = """SELECT
 FROM events GROUP BY 1, 2"""
 
 
+def q_search_snippets(spark, sf_dir, query: str = "spark join",
+                      k: int = 10, width: int = 30):
+    """Top-k + first-hit snippet (operators/snippets.py): JVM
+    lower/locate/substring over the k result docs only."""
+    from searchengine_spark.operators.snippets import first_snippet
+
+    _, _, tf_table, stats, scalars = _index_parts(spark, sf_dir)
+    allsc = score_all(tf_table, stats, scalars, query, mode="bm25")
+    topk = (
+        allsc.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    out = first_snippet(docs.join(F.broadcast(topk), "doc_id"),
+                        query, width=width)
+    return out.select("doc_id", "score", "snip_pos", "snippet")         .orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+def _search_snippets_sql(query: str = "spark join", k: int = 10,
+                         width: int = 30) -> str:
+    terms = ["spark", "join"]
+    pos_exprs = ", ".join(f"strpos(lower(d.text), '{t}')" for t in terms)
+    return f"""WITH {BASE_CTES},
+{_query_cte(query)},
+partial AS (
+  SELECT tf.doc_id, {_BM25_W} AS w
+  FROM tf JOIN q USING (term) JOIN stats s USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN consts c
+),
+topk AS (
+  SELECT doc_id, round(sum(w), 6) AS score FROM partial GROUP BY doc_id
+  ORDER BY score DESC, doc_id ASC LIMIT {k}
+),
+hit AS (
+  SELECT t.doc_id, t.score,
+    (SELECT coalesce(min(p), 0) FROM unnest([{pos_exprs}]) AS u(p)
+     WHERE p > 0) AS snip_pos,
+    d.text
+  FROM topk t JOIN documents d USING (doc_id)
+)
+SELECT doc_id, score, snip_pos::BIGINT AS snip_pos,
+  CASE WHEN snip_pos > 0
+       THEN substr(text, greatest(1, snip_pos - {width}), {2 * width})
+       ELSE substr(text, 1, {width}) END AS snippet
+FROM hit ORDER BY score DESC, doc_id ASC"""
+
+
 def q_boolean_topk(spark, sf_dir,
                    query: str = "spark join +fast -slow", k: int = 10):
     """MUST/NOT boolean retrieval (operators/boolquery.py): BM25 over
@@ -1242,6 +1290,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming (batch twin of the watermarked windowed agg)
         "windowed_counts": q_windowed_counts,
         "boolean_topk": q_boolean_topk,
+        "search_snippets": q_search_snippets,
         "suggest_prefix": q_suggest_prefix,
         "did_you_mean": q_did_you_mean,
         "sessionized_counts": q_sessionized_counts,
@@ -1294,6 +1343,7 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "video_frame_sample": SQL_VIDEO_FRAME_SAMPLE,
         "windowed_counts": SQL_WINDOWED_COUNTS,
         "boolean_topk": SQL_BOOLEAN_TOPK,
+        "search_snippets": _search_snippets_sql(),
         "suggest_prefix": SQL_SUGGEST_PREFIX,
         "did_you_mean": SQL_DID_YOU_MEAN,
         "sessionized_counts": SQL_SESSIONIZED_COUNTS,

@@ -188,3 +188,25 @@ def test_boolean_query_semantics(spark, small):
         idx.tf_table, idx.term_stats, idx.scalars, "bababa zumuqi").collect()}
     for r in got:
         assert abs(plain[r.doc_id] - r.score) < 1e-9
+
+
+def test_first_snippet(spark):
+    """Snippet window math: earliest hit across terms, clamped window,
+    no-hit fallback, case-insensitive locate."""
+    from searchengine_spark.operators.snippets import first_snippet
+
+    docs = spark.createDataFrame(
+        [(0, "x" * 100 + "NEEDLE" + "y" * 100),
+         (1, "Needle at the very start of it all " + "z" * 80),
+         (2, "no match here at all " * 5),
+         (3, "aa haystack bb needle cc")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           first_snippet(docs, "needle haystack", width=10).collect()}
+    assert out[0].snip_pos == 101
+    assert out[0].snippet == "x" * 10 + "NEEDLE" + "y" * 4
+    assert out[1].snip_pos == 1
+    assert out[1].snippet == "Needle at the very s"   # clamped to start
+    assert out[2].snip_pos == 0
+    assert out[2].snippet == "no match h"             # leading fallback
+    assert out[3].snip_pos == 4                       # haystack before needle
