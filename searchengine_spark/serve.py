@@ -7,7 +7,7 @@ renders results (SearchEngine Engine/Engine/Engine.cs:32-96). Here the
 same lifecycle is a stdlib ``ThreadingHTTPServer`` in front of
 ``engine.SearchEngine`` (load once, serve many):
 
-    GET /search?q=words&k=10[&mode=wand|term|exhaustive|reference]
+    GET /search?q=words&k=10[&mode=wand|term|exhaustive|reference][&snippets=1]
         -> {"query": ..., "k": ..., "took_ms": ..., "results":
             [{"doc_id": ..., "score": ...}, ...]}
     GET /doc?id=123      -> the doc-store row (text + turn metadata)
@@ -66,15 +66,32 @@ def make_handler(engine: SearchEngine, lock: threading.Lock):
                     if mode not in _MODES:
                         self._reply(400, {"error": f"unknown mode {mode!r}"})
                         return
+                    want_snip = (qs.get("snippets") or ["0"])[0] == "1"
                     t0 = time.perf_counter()
                     with lock:  # one Spark action at a time (driver JVM)
-                        rows = engine.search(q, k=k, mode=mode).collect()
+                        if want_snip:
+                            from searchengine_spark.operators.snippets import (
+                                first_snippet,
+                            )
+                            from pyspark.sql import functions as F
+
+                            topk = engine.search(q, k=k, mode=mode)
+                            joined = engine.doc_map.select(
+                                "doc_id", "text").join(
+                                F.broadcast(topk), "doc_id")
+                            rows = (first_snippet(joined, q)
+                                    .orderBy(F.desc("score"),
+                                             F.asc("doc_id")).collect())
+                        else:
+                            rows = engine.search(q, k=k, mode=mode).collect()
                     self._reply(200, {
                         "query": q, "k": k, "mode": mode,
                         "took_ms": round((time.perf_counter() - t0) * 1e3, 1),
                         "results": [
                             {"doc_id": int(r["doc_id"]),
-                             "score": float(r["score"])}
+                             "score": float(r["score"]),
+                             **({"snippet": r["snippet"]}
+                                if want_snip else {})}
                             for r in rows
                         ],
                     })

@@ -142,3 +142,11 @@ def test_search_convs(served):
                       key=lambda x: (-x[0], x[1]))[:5]
     assert [(round(r.conv_score, 6), r.conv_id) for r in got_sum] == \
         [(round(s, 6), c) for s, c in want_sum]
+
+
+def test_search_with_snippets(served):
+    eng, base = served
+    status, body = _get(f"{base}/search?q=bababa&k=3&snippets=1")
+    assert status == 200 and len(body["results"]) == 3
+    for r in body["results"]:
+        assert "bababa" in r["snippet"].lower()
