@@ -1028,6 +1028,29 @@ SQL_WINDOWED_COUNTS = """SELECT
 FROM events GROUP BY 1, 2"""
 
 
+def q_doc_keywords(spark, sf_dir, k: int = 3):
+    """Per-doc top-k TF-IDF keywords (operators/textstats.doc_keywords):
+    rank-pushdown window over tf x broadcast stats."""
+    from searchengine_spark.operators.textstats import doc_keywords
+
+    _, _, tf_table, stats, scalars = _index_parts(spark, sf_dir)
+    return doc_keywords(tf_table, stats, scalars.n_docs, k=k)
+
+
+SQL_DOC_KEYWORDS = f"""WITH {BASE_CTES},
+scored AS (
+  SELECT tf.doc_id, tf.term,
+    tf.tf * ln(c.n::DOUBLE / s.df) AS tfidf
+  FROM tf JOIN stats s USING (term) CROSS JOIN consts c
+)
+SELECT doc_id, rank, term, round(tfidf, 6) AS tfidf FROM (
+  SELECT doc_id, term, tfidf,
+    row_number() OVER (PARTITION BY doc_id
+                       ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= 3"""
+
+
 def q_search_snippets(spark, sf_dir, query: str = "spark join",
                       k: int = 10, width: int = 30):
     """Top-k + first-hit snippet (operators/snippets.py): JVM
@@ -1291,6 +1314,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_counts": q_windowed_counts,
         "boolean_topk": q_boolean_topk,
         "search_snippets": q_search_snippets,
+        "doc_keywords": q_doc_keywords,
         "suggest_prefix": q_suggest_prefix,
         "did_you_mean": q_did_you_mean,
         "sessionized_counts": q_sessionized_counts,
@@ -1344,6 +1368,7 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "windowed_counts": SQL_WINDOWED_COUNTS,
         "boolean_topk": SQL_BOOLEAN_TOPK,
         "search_snippets": _search_snippets_sql(),
+        "doc_keywords": SQL_DOC_KEYWORDS,
         "suggest_prefix": SQL_SUGGEST_PREFIX,
         "did_you_mean": SQL_DID_YOU_MEAN,
         "sessionized_counts": SQL_SESSIONIZED_COUNTS,

@@ -106,3 +106,29 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             F.concat_ws(" ", F.array_sort(F.array_distinct(F.col("tokens"))))
         ).alias("fp"),
     )
+
+
+def doc_keywords(tf_table: DataFrame, term_stats: DataFrame, n_docs: int,
+                 k: int = 3) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document -> (doc_id, rank, term,
+    tfidf) — the standard document-labeling primitive of a training-data
+    pipeline (topic tagging, dedup explanation, corpus drill-down).
+
+    tfidf = tf * ln(N / df) over the existing tf/stats relations; the
+    per-doc top-k is a row_number window that Spark compiles to the
+    WindowGroupLimit rank-pushdown (only the running top-k per doc is
+    kept per task), and the stats side joins broadcast-sized (one row
+    per term). Ties break (term asc) so the output is deterministic."""
+    from pyspark.sql import Window
+
+    w = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    scored = tf_table.join(F.broadcast(term_stats.select("term", "df")),
+                           "term").withColumn("tfidf", w)
+    rank_w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= int(k))
+        .select("doc_id", F.col("rank").cast("long").alias("rank"),
+                "term", F.round("tfidf", 6).alias("tfidf"))
+    )
