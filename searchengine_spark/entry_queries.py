@@ -1132,6 +1132,73 @@ WHERE s.doc_id NOT IN (SELECT doc_id FROM excl)
 ORDER BY score DESC, doc_id ASC LIMIT 10"""
 
 
+def q_phrase_topk(spark, sf_dir, phrase: str = "table hash", k: int = 10):
+    """Exact-phrase retrieval (operators/positional.py): consecutive
+    admitted-token match via posexplode + position-adjacency joins,
+    BM25-scored on phrase tf (phrase as one synthetic term)."""
+    from searchengine_spark.operators.positional import phrase_topk
+
+    docs, forward, _, _, scalars = _index_parts(spark, sf_dir)
+    out = phrase_topk(docs, forward, phrase, scalars.n_docs, scalars.avgdl,
+                      k=k + 8)
+    return (
+        out.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+_TOKP_CTE = (
+    "tokp AS (SELECT doc_id, unnest(t) AS term,"
+    " generate_subscripts(t, 1) - 1 AS pos FROM tokd)"
+)
+
+_SYNTH_BM25_SELECT = f"""SELECT m.doc_id,
+       round(ln((c.n - pd.pdf + 0.5) / (pd.pdf + 0.5) + 1.0)
+             * (m.mtf * {BM25_K1 + 1.0})
+             / (m.mtf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / c.avgdl)), 6) AS score
+FROM m JOIN dl USING (doc_id) CROSS JOIN consts c CROSS JOIN pdfc pd
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
+SQL_PHRASE_TOPK = f"""WITH {BASE_CTES},
+{_TOKP_CTE},
+h0 AS (SELECT doc_id, pos AS p0 FROM tokp WHERE term = 'table'),
+h1 AS (SELECT doc_id, pos - 1 AS p0 FROM tokp WHERE term = 'hash'),
+hits AS (SELECT h0.doc_id FROM h0 JOIN h1 USING (doc_id, p0)),
+m AS (SELECT doc_id, count(*)::BIGINT AS mtf FROM hits GROUP BY 1),
+pdfc AS (SELECT count(*)::BIGINT AS pdf FROM m)
+{_SYNTH_BM25_SELECT}"""
+
+
+def q_near_topk(spark, sf_dir, term_a: str = "spark", term_b: str = "join",
+                window: int = 3, k: int = 10):
+    """Proximity retrieval (operators/positional.py): docs with the two
+    terms within ``window`` admitted tokens (any order), BM25-scored on
+    the within-window occurrence-pair count."""
+    from searchengine_spark.operators.positional import near_topk
+
+    docs, forward, _, _, scalars = _index_parts(spark, sf_dir)
+    out = near_topk(docs, forward, term_a, term_b, scalars.n_docs,
+                    scalars.avgdl, window=window, k=k + 8)
+    return (
+        out.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+SQL_NEAR_TOPK = f"""WITH {BASE_CTES},
+{_TOKP_CTE},
+m AS (SELECT a.doc_id, count(*)::BIGINT AS mtf
+      FROM tokp a JOIN tokp b
+        ON a.doc_id = b.doc_id AND b.term = 'join'
+       AND abs(a.pos - b.pos) <= 3
+      WHERE a.term = 'spark'
+      GROUP BY 1),
+pdfc AS (SELECT count(*)::BIGINT AS pdf FROM m)
+{_SYNTH_BM25_SELECT}"""
+
+
 def q_suggest_prefix(spark, sf_dir, prefix: str = "s", k: int = 10):
     """Autocomplete over the term dictionary (operators/lexicon.py):
     contiguous-range prefix filter + df-ranked top-k."""
@@ -1313,6 +1380,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming (batch twin of the watermarked windowed agg)
         "windowed_counts": q_windowed_counts,
         "boolean_topk": q_boolean_topk,
+        "phrase_topk": q_phrase_topk,
+        "near_topk": q_near_topk,
         "search_snippets": q_search_snippets,
         "doc_keywords": q_doc_keywords,
         "suggest_prefix": q_suggest_prefix,
@@ -1367,6 +1436,8 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "video_frame_sample": SQL_VIDEO_FRAME_SAMPLE,
         "windowed_counts": SQL_WINDOWED_COUNTS,
         "boolean_topk": SQL_BOOLEAN_TOPK,
+        "phrase_topk": SQL_PHRASE_TOPK,
+        "near_topk": SQL_NEAR_TOPK,
         "search_snippets": _search_snippets_sql(),
         "doc_keywords": SQL_DOC_KEYWORDS,
         "suggest_prefix": SQL_SUGGEST_PREFIX,
