@@ -522,6 +522,45 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=_JACCARD_THRESHOLD)
 
 
+def q_dedup_components(spark, sf_dir):
+    """Duplicate-cluster assignment (operators/dedup.py
+    connected_components): min-label propagation over the n-gram-Jaccard
+    near-dup pair graph -> (doc_id, component, keep). keep marks the
+    cluster canonical (min doc_id) — the doc a dedup pass retains."""
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir),
+                                      threshold=_JACCARD_THRESHOLD)
+    comp = dedup.connected_components(pairs)
+    return comp.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+        (F.col("doc_id") == F.col("component")).alias("keep"),
+    )
+
+
+SQL_DEDUP_COMPONENTS = f"""WITH RECURSIVE {_SHINGLE_CTES},
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+prs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= {_JACCARD_THRESHOLD}
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+          UNION SELECT id_b, id_a FROM prs),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.label
+)
+SELECT node::BIGINT AS doc_id, min(label)::BIGINT AS component,
+       (node = min(label)) AS keep
+FROM reach GROUP BY node"""
+
+
 SQL_NGRAM_JACCARD = f"""WITH {_SHINGLE_CTES},
 sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
 inter AS (
@@ -1356,6 +1395,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard,
+        "dedup_components": q_dedup_components,
         "minhash_signatures": q_minhash_signatures,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "lsh_candidate_pairs": q_lsh_candidates,
@@ -1416,6 +1456,7 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "doc_id_rank": SQL_DOC_ID_RANK,
         "dedup_exact": SQL_DEDUP_EXACT,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
+        "dedup_components": SQL_DEDUP_COMPONENTS,
         "minhash_signatures": SQL_MINHASH_SIGNATURES,
         "minhash_dedup_pairs": SQL_MINHASH_DEDUP_PAIRS,
         "lsh_candidate_pairs": SQL_LSH_CANDIDATES,

@@ -371,3 +371,63 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id")
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# -- duplicate-cluster assignment ---------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(doc_id, component) for every doc appearing in ``pairs``;
+    component = min doc_id reachable through the pair graph. The last
+    dedup stage: pair lists (Jaccard / MinHash / SimHash / embedding)
+    become keep-one decisions (keep doc_id == component).
+
+    Min-label propagation: each round every node takes the min of its own
+    and its neighbours' labels (one shuffle per round); converges in
+    graph-diameter rounds. Near-dup clusters are shallow (duplicates of a
+    common source), so the diameter is tiny in practice — the O(log n)
+    large-star/small-star variant is only worth its complexity on
+    web-graph-shaped inputs. ``localCheckpoint`` caps lineage growth so
+    the plan does not deepen with each round; the convergence probe is a
+    count on the CHANGED set only (empty at fixpoint).
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        fwd.union(fwd.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select("src").distinct()
+        .withColumn("label", F.col("src"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels.withColumnRenamed("src", "dst"), "dst")
+            .select("src", "label")
+        )
+        new = (
+            nbr.union(labels)
+            .groupBy("src")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "src")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("src").alias("doc_id"),
+                         F.col("label").alias("component"))

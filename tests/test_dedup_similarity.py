@@ -258,3 +258,30 @@ def test_ivf_topk_with_precomputed_index(spark):
     amortized = similarity.ivf_topk(df, q, k=5, n_centroids=8, nprobe=3,
                                     index=idx, centroids=cent).collect()
     assert [tuple(r) for r in fresh] == [tuple(r) for r in amortized]
+
+
+def test_connected_components_chain_and_star(spark):
+    # chain 1-2-3-4 (diameter 3), star 10-(11,12,13), isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 21)],
+        "id_a long, id_b long",
+    )
+    from searchengine_spark.operators.dedup import connected_components
+
+    got = {r.doc_id: r.component
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_merging_clusters(spark):
+    # two chains joined by a late edge: min label must flow across
+    pairs = spark.createDataFrame(
+        [(5, 6), (7, 8), (6, 7), (100, 8)], "id_a long, id_b long"
+    )
+    from searchengine_spark.operators.dedup import connected_components
+
+    got = {r.doc_id: r.component
+           for r in connected_components(pairs).collect()}
+    assert set(got.values()) == {5}
+    assert set(got) == {5, 6, 7, 8, 100}
