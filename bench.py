@@ -593,6 +593,21 @@ def query_bench(spark) -> tuple[dict, dict]:
     timed("wand_topk_rare", lambda: wand_topk(
         idx.doc_segments, rare_q, idx.term_stats, idx.scalars.n_docs,
         idx.scalars.avgdl, k=TOPK).collect())
+    # positional retrieval: phrase = adjacency of two hot terms (worst
+    # case for the candidate gate — nearly every doc passes the
+    # all-terms filter, so the timing reflects the posexplode + position
+    # joins, not an artificially selective gate)
+    from searchengine_spark.operators.positional import near_topk, phrase_topk
+
+    raw_docs_for_pos = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    fwd_dl = idx.doc_map.select("doc_id", "dl")
+    timed("phrase_topk", lambda: phrase_topk(
+        raw_docs_for_pos, fwd_dl, f"{top_terms[0]} {top_terms[1]}",
+        idx.scalars.n_docs, idx.scalars.avgdl, k=TOPK).collect())
+    timed("near_topk", lambda: near_topk(
+        raw_docs_for_pos, fwd_dl, top_terms[0], top_terms[-1],
+        idx.scalars.n_docs, idx.scalars.avgdl, window=3, k=TOPK).collect())
+
     # block-max pruning effectiveness counters (recorded, not timed):
     # hot-terms query (pruning mostly from the heap threshold) AND a
     # hot+rare mix (the rare term's idf lifts theta fast — the case
