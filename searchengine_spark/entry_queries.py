@@ -844,6 +844,71 @@ WHERE cos >= {_COS_PAIR_THRESHOLD}"""
 # text analysis
 # ---------------------------------------------------------------------------
 
+def q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split (operators/sampling.py):
+    membership = pure function of md5(doc_id || salt) — stable across
+    runs, partitionings, and engines; no RNG, no shuffle."""
+    from searchengine_spark.operators.sampling import split_assign
+
+    return split_assign(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "split")
+
+
+_DUCK_BUCKET = ("(('0x' || substring(md5(doc_id::VARCHAR || '|{salt}'), 1, 8))"
+                "::BIGINT % 10000)")
+
+SQL_SPLIT_ASSIGN = f"""SELECT doc_id::BIGINT AS doc_id,
+CASE WHEN {_DUCK_BUCKET.format(salt='split-v1')} < 9000 THEN 'train'
+     WHEN {_DUCK_BUCKET.format(salt='split-v1')} < 9500 THEN 'val'
+     ELSE 'test' END AS split
+FROM documents"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-language deterministic downsampling (operators/sampling.py):
+    keep 100% of rare langs, 25% of dominant 'en' — the rebalancing move
+    every multilingual training pipeline makes."""
+    from searchengine_spark.operators.sampling import stratified_sample
+
+    out = stratified_sample(
+        _docs(spark, sf_dir), rates={"en": 0.25}, strata_col="lang",
+        default_rate=1.0)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+
+
+SQL_STRATIFIED_SAMPLE = f"""SELECT doc_id::BIGINT AS doc_id, lang
+FROM documents
+WHERE {_DUCK_BUCKET.format(salt='strata-v1')}
+      < CAST((CASE WHEN lang = 'en' THEN 0.25 ELSE 1.0 END) * 10000 AS BIGINT)"""
+
+
+def q_bigram_pmi(spark, sf_dir):
+    """Corpus bigram collocations by PMI (operators/collocations.py):
+    in-row zip_with bigram formation, two hash aggs, broadcast unigram
+    join — no window, no position self-join."""
+    from searchengine_spark.operators.collocations import bigram_pmi
+
+    return bigram_pmi(_docs(spark, sf_dir), min_count=5, k=20)
+
+
+SQL_BIGRAM_PMI = f"""WITH
+tokd AS (SELECT doc_id, {_TOKS_TEXT} AS t FROM documents),
+uni AS (SELECT unnest(t) AS term FROM tokd),
+c1 AS (SELECT term, count(*)::BIGINT AS c FROM uni GROUP BY 1),
+tot AS (SELECT (SELECT count(*) FROM uni)::DOUBLE AS t1,
+               (SELECT sum(greatest(len(t) - 1, 0)) FROM tokd)::DOUBLE AS t2),
+big AS (SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+        i -> concat_ws(' ', t[i], t[i+1]))) AS bigram FROM tokd),
+bc AS (SELECT bigram, count(*)::BIGINT AS n FROM big
+       GROUP BY 1 HAVING count(*) >= 5)
+SELECT bigram, n,
+       round(ln((n / t.t2) / ((a.c / t.t1) * (b.c / t.t1))), 6) AS pmi
+FROM bc JOIN c1 a ON a.term = split_part(bigram, ' ', 1)
+        JOIN c1 b ON b.term = split_part(bigram, ' ', 2)
+CROSS JOIN tot t
+ORDER BY pmi DESC, bigram ASC LIMIT 20"""
+
+
 def q_lang_id(spark, sf_dir):
     return textstats.lang_id(_docs(spark, sf_dir))
 
@@ -1408,6 +1473,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": q_embedding_dup_pairs,
         # text analysis
         "lang_id": q_lang_id,
+        "split_assign": q_split_assign,
+        "stratified_sample": q_stratified_sample,
+        "bigram_pmi": q_bigram_pmi,
         "quality_score": q_quality,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_fingerprint,
@@ -1467,6 +1535,9 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "ivf_topk": SQL_IVF_TOPK,
         "embedding_dup_pairs": _embedding_dup_pairs_sql(sf_dir),
         "lang_id": SQL_LANG_ID,
+        "split_assign": SQL_SPLIT_ASSIGN,
+        "stratified_sample": SQL_STRATIFIED_SAMPLE,
+        "bigram_pmi": SQL_BIGRAM_PMI,
         "quality_score": SQL_QUALITY,
         "token_counts": SQL_TOKEN_COUNTS,
         "doc_fingerprint": SQL_FINGERPRINT,

@@ -1,0 +1,109 @@
+"""Deterministic sampling/splits and PMI collocations vs Python oracles."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+import pytest
+
+from searchengine_spark.functions.tokenize import tokenize_py
+from searchengine_spark.operators.collocations import bigram_pmi, doc_bigrams
+from searchengine_spark.operators.sampling import (
+    BUCKETS,
+    sample_deterministic,
+    split_assign,
+    stratified_sample,
+)
+
+
+def _py_bucket(key, salt: str) -> int:
+    h = hashlib.md5(f"{key}|{salt}".encode()).hexdigest()
+    return int(h[:8], 16) % BUCKETS
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.createDataFrame(
+        [(i, "en" if i % 4 else "fr") for i in range(400)],
+        "doc_id long, lang string",
+    )
+
+
+def test_split_assign_matches_python_and_is_total(spark, ids):
+    got = {r.doc_id: r.split for r in split_assign(ids).collect()}
+    assert len(got) == 400
+    for i, s in got.items():
+        b = _py_bucket(i, "split-v1")
+        want = "train" if b < 9000 else ("val" if b < 9500 else "test")
+        assert s == want, (i, b, s, want)
+
+
+def test_split_stable_under_repartition(spark, ids):
+    a = {r.doc_id: r.split for r in split_assign(ids).collect()}
+    b = {r.doc_id: r.split
+         for r in split_assign(ids.repartition(7, "lang")).collect()}
+    assert a == b
+
+
+def test_sample_subset_monotone(spark, ids):
+    s2 = {r.doc_id for r in sample_deterministic(ids, 0.2).collect()}
+    s5 = {r.doc_id for r in sample_deterministic(ids, 0.5).collect()}
+    assert s2 <= s5
+    assert 0.1 < len(s2) / 400 < 0.3 and 0.4 < len(s5) / 400 < 0.6
+
+
+def test_stratified_keeps_rare_full(spark, ids):
+    out = stratified_sample(ids, rates={"en": 0.25}, strata_col="lang",
+                            default_rate=1.0).collect()
+    langs = Counter(r.lang for r in out)
+    assert langs["fr"] == 100              # default_rate=1.0 keeps all
+    assert 40 < langs["en"] < 110          # ~25% of 300
+
+
+CORPUS = [
+    (0, "new york is big new york is old"),
+    (1, "new york and san francisco"),
+    (2, "san francisco fog; new york rain"),
+    (3, "the cat sat on the mat"),
+    (4, "new york new york"),
+]
+
+
+def _py_pmi(min_count: int):
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for _, text in CORPUS:
+        t = tokenize_py(text)
+        uni.update(t)
+        big.update(" ".join(p) for p in zip(t, t[1:]))
+    t1, t2 = sum(uni.values()), sum(big.values())
+    out = {}
+    for bg, n in big.items():
+        if n < min_count:
+            continue
+        a, b = bg.split(" ")
+        out[bg] = (n, math.log((n / t2) / ((uni[a] / t1) * (uni[b] / t1))))
+    return out
+
+
+def test_doc_bigrams_shape(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    rows = doc_bigrams(docs).collect()
+    got = Counter((r.doc_id, r.bigram) for r in rows)
+    assert got[(4, "new york")] == 2 and got[(4, "york new")] == 1
+    assert got[(3, "the cat")] == 1
+
+
+def test_bigram_pmi_vs_python(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    want = _py_pmi(min_count=2)
+    got = {r.bigram: (r.n, r.pmi) for r in
+           bigram_pmi(docs, min_count=2, k=100).collect()}
+    assert set(got) == set(want)
+    for bg, (n, pmi) in want.items():
+        assert got[bg][0] == n
+        assert abs(got[bg][1] - pmi) < 1e-6
+    # "new york" is the dominant collocation by count
+    assert got["new york"][0] == max(n for n, _ in got.values())
