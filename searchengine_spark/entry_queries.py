@@ -844,6 +844,52 @@ WHERE cos >= {_COS_PAIR_THRESHOLD}"""
 # text analysis
 # ---------------------------------------------------------------------------
 
+def _as_transcripts(spark, sf_dir):
+    """documents proxied into the transcript shape: source = conv_id,
+    doc_id = turn ordering (the operators need order, not contiguity)."""
+    return _docs(spark, sf_dir).select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        "text",
+    )
+
+
+def q_turn_context(spark, sf_dir, n_prev: int = 2):
+    """Sliding context-window assembly (operators/context.py): each turn
+    + up to n_prev preceding turns of its conversation, one ordered
+    window over the conv-id partition."""
+    from searchengine_spark.operators.context import context_windows
+
+    out = context_windows(_as_transcripts(spark, sf_dir), n_prev=n_prev)
+    return out.select(
+        "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.md5("context").alias("ctx_md5"),
+    )
+
+
+SQL_TURN_CONTEXT = """SELECT source AS conv_id, doc_id::BIGINT AS turn_idx,
+md5(string_agg(text, chr(10)) OVER (
+    PARTITION BY source ORDER BY doc_id
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS ctx_md5
+FROM documents"""
+
+
+def q_conversation_text(spark, sf_dir):
+    """Whole-conversation assembly (operators/context.py): one hash agg,
+    in-row struct sort — no window/sort shuffle."""
+    from searchengine_spark.operators.context import conversation_text
+
+    out = conversation_text(_as_transcripts(spark, sf_dir))
+    return out.select("conv_id", "n_turns",
+                      F.md5("conv_text").alias("conv_md5"))
+
+
+SQL_CONVERSATION_TEXT = """SELECT source AS conv_id,
+count(*)::BIGINT AS n_turns,
+md5(string_agg(text, chr(10) ORDER BY doc_id)) AS conv_md5
+FROM documents GROUP BY 1"""
+
+
 def q_split_assign(spark, sf_dir):
     """Deterministic train/val/test split (operators/sampling.py):
     membership = pure function of md5(doc_id || salt) — stable across
@@ -1474,6 +1520,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis
         "lang_id": q_lang_id,
         "split_assign": q_split_assign,
+        "turn_context": q_turn_context,
+        "conversation_text": q_conversation_text,
         "stratified_sample": q_stratified_sample,
         "bigram_pmi": q_bigram_pmi,
         "quality_score": q_quality,
@@ -1536,6 +1584,8 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "embedding_dup_pairs": _embedding_dup_pairs_sql(sf_dir),
         "lang_id": SQL_LANG_ID,
         "split_assign": SQL_SPLIT_ASSIGN,
+        "turn_context": SQL_TURN_CONTEXT,
+        "conversation_text": SQL_CONVERSATION_TEXT,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "bigram_pmi": SQL_BIGRAM_PMI,
         "quality_score": SQL_QUALITY,
