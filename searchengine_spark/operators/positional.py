@@ -3,36 +3,35 @@
 The reference index stores (doc_id, tf) postings only — no positions —
 so its Engine cannot answer "terms adjacent / within k tokens"
 (SearchEngine Indexer/Program.cs:266-313 aggregates counts per doc and
-drops order). A transcript search engine needs both; this module adds
-them WITHOUT changing the binary segment codec, as a query-time
-positional plan over the forward index:
+drops order). A transcript search engine needs both. Two plans:
 
-    tokens (one Arrow pass, already computed for the build)
-      -> candidate gate: docs containing ALL phrase terms
-         (``array_contains`` conjunction — evaluated in the scan,
-         corpus-sized but embarrassingly parallel, no shuffle)
-      -> posexplode to (doc_id, term, pos), filtered to the m phrase
-         terms only (candidate-sized, NOT corpus-sized)
-      -> m-way equi-join on (doc_id, pos + i) = phrase start positions
+1. **Corpus-pass (default)**: tokens via ONE Arrow pass, candidate gate
+   (``array_contains`` conjunction, evaluated in the scan), then the
+   occurrence count computed IN-ROW with JVM higher-order functions
+   (``filter``/``aggregate`` over the token array) — no posexplode, no
+   self-joins, ZERO shuffles before the final top-k. Positions are
+   *admitted-token* ordinals: a dropped token (non-ASCII or >20 chars,
+   tokenize.py:35-43) closes the gap, exactly what an index-time
+   positional posting list would store.
 
-Positions are *admitted-token* ordinals, not byte offsets: a dropped
-token (non-ASCII or >20 chars, tokenize.py:35-43) closes the gap, so
-"spark café join" matches the phrase "spark join" — the exact semantics
-a positional posting list built at index time would give.
+2. **Indexed (scale path)**: ``build_positional`` persists
+   (term, doc_id, positions) lists once; ``phrase_match_indexed`` then
+   touches ONLY the phrase terms' lists (query cost ∝ posting-list
+   sizes, not corpus size — the Lucene phrase plan). Adjacency is again
+   in-row: join the m terms' position arrays per doc (each leg is
+   term-filtered, so candidate-sized), count starts whose i+j th
+   position appears in term j's array.
 
-Scale shape: every join leg is the positions of ONE term inside
-candidate docs; the joins hash-partition on doc_id so all m legs
-co-shuffle once. At 10^12 turns the gate keeps the exploded relation
-proportional to the phrase's rarest term, same as a real positional
-index. For repeated index-time use the (doc_id, term, pos) relation
-can be persisted next to the tf segments; the query plan is identical.
+At 10^12 turns the corpus-pass plan is a full scan per query (right for
+ad-hoc/batch); the indexed plan is the serving path.
 """
 
 from __future__ import annotations
 
 import math
+from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from searchengine_spark.functions.scoring import B as BM25_B
@@ -45,9 +44,7 @@ def positional_postings(docs: DataFrame, terms: list[str] | None = None,
     """(doc_id, term, pos) with pos = 0-based admitted-token ordinal.
 
     ``terms`` (when given) gates docs to those containing ALL of them
-    (phrase candidates) and keeps only those terms' rows after the
-    explode, so the exploded relation is candidate-sized.
-    """
+    and keeps only those terms' rows after the explode."""
     toked = docs.select("doc_id", tokenize_udf(F.col(text_col)).alias("toks"))
     if terms:
         for t in sorted(set(terms)):
@@ -60,54 +57,128 @@ def positional_postings(docs: DataFrame, terms: list[str] | None = None,
     return out
 
 
+def _gated_tokens(docs: DataFrame, terms: list[str],
+                  text_col: str) -> DataFrame:
+    """(doc_id, toks) for docs containing every distinct term — the
+    candidate gate; one Arrow tokenize pass, no shuffle."""
+    toked = docs.select("doc_id", tokenize_udf(F.col(text_col)).alias("toks"))
+    for t in sorted(set(terms)):
+        toked = toked.filter(F.array_contains("toks", t))
+    return toked
+
+
+def _positions_of(toks: Column, term: str) -> Column:
+    """array<int> of 0-based ordinals where ``toks[i] == term``."""
+    return F.filter(
+        F.sequence(F.lit(0), F.size(toks) - 1),
+        lambda i: F.element_at(toks, i + 1) == term,
+    )
+
+
+def _phrase_count(toks: Column, terms: list[str]) -> Column:
+    """In-row count of start ordinals i with toks[i+j] == terms[j] ∀j."""
+    m = len(terms)
+    starts = F.sequence(F.lit(0), F.size(toks) - m)
+    hit = lambda i: reduce(  # noqa: E731
+        Column.__and__,
+        [F.element_at(toks, i + j + 1) == terms[j] for j in range(m)],
+    )
+    return F.when(
+        F.size(toks) >= m, F.size(F.filter(starts, hit))
+    ).otherwise(F.lit(0))
+
+
 def phrase_match(docs: DataFrame, phrase: str,
                  text_col: str = "text") -> DataFrame:
-    """(doc_id, ptf): number of occurrences of ``phrase`` as CONSECUTIVE
-    admitted tokens. Empty phrase -> empty result."""
+    """(doc_id, ptf): occurrences of ``phrase`` as CONSECUTIVE admitted
+    tokens. Pure column algebra after the gate — zero shuffles."""
     terms = tokenize_py(phrase)
     spark = docs.sparkSession
     if not terms:
         return spark.createDataFrame([], "doc_id long, ptf long")
-    pos = positional_postings(docs, terms, text_col=text_col)
-    hits = (
-        pos.filter(F.col("term") == terms[0])
-        .select("doc_id", F.col("pos").alias("p0"))
-    )
-    for i, t in enumerate(terms[1:], start=1):
-        leg = (
-            pos.filter(F.col("term") == t)
-            .select("doc_id", (F.col("pos") - i).alias("p0"))
+    gated = _gated_tokens(docs, terms, text_col)
+    return (
+        gated.select(
+            "doc_id",
+            _phrase_count(F.col("toks"), terms).cast("long").alias("ptf"),
         )
-        hits = hits.join(leg, ["doc_id", "p0"])
-    return hits.groupBy("doc_id").agg(F.count("*").cast("long").alias("ptf"))
+        .filter(F.col("ptf") > 0)
+    )
 
 
 def near_match(docs: DataFrame, term_a: str, term_b: str, window: int = 5,
                text_col: str = "text") -> DataFrame:
-    """(doc_id, pairs): count of (pos_a, pos_b) occurrence pairs with the
-    two DISTINCT terms within ``window`` tokens of each other, any order.
-    The classic unordered NEAR operator; pair count is the proximity tf."""
+    """(doc_id, pairs): count of (pos_a, pos_b) occurrence pairs of the
+    two DISTINCT terms within ``window`` tokens, any order. In-row
+    O(|pa|·|pb|) — occurrence lists per doc are tiny."""
     if term_a == term_b:
         raise ValueError("near_match needs two distinct terms")
-    pos = positional_postings(docs, [term_a, term_b], text_col=text_col)
-    a = pos.filter(F.col("term") == term_a).select("doc_id",
-                                                   F.col("pos").alias("pa"))
-    b = pos.filter(F.col("term") == term_b).select("doc_id",
-                                                   F.col("pos").alias("pb"))
-    pairs = a.join(b, "doc_id").filter(
-        F.abs(F.col("pa") - F.col("pb")) <= window
+    gated = _gated_tokens(docs, [term_a, term_b], text_col)
+    pa = _positions_of(F.col("toks"), term_a)
+    pb = _positions_of(F.col("toks"), term_b)
+    pairs = F.aggregate(
+        pa,
+        F.lit(0),
+        lambda acc, p: acc + F.size(
+            F.filter(pb, lambda q: F.abs(q - p) <= window)
+        ),
     )
-    return pairs.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("pairs")
+    return (
+        gated.select("doc_id", pairs.cast("long").alias("pairs"))
+        .filter(F.col("pairs") > 0)
     )
 
+
+# -- indexed path (persisted positional postings) ----------------------------
+
+def build_positional(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(term, doc_id, positions sorted array<int>): the positional
+    posting lists. Persist once (partition/bucket by term at scale);
+    phrase queries then read only the query terms' rows."""
+    return (
+        positional_postings(docs, text_col=text_col)
+        .groupBy("term", "doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+    )
+
+
+def phrase_match_indexed(postings: DataFrame, phrase: str) -> DataFrame:
+    """(doc_id, ptf) from a ``build_positional`` table: filter to the m
+    phrase terms (pushed to the scan), join the m position arrays per
+    doc, count starts in-row via array_contains lookups."""
+    terms = tokenize_py(phrase)
+    spark = postings.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, ptf long")
+    legs = None
+    for j, t in enumerate(dict.fromkeys(terms)):  # distinct, order kept
+        leg = (
+            postings.filter(F.col("term") == t)
+            .select("doc_id", F.col("positions").alias(f"_p_{t}"))
+        )
+        legs = leg if legs is None else legs.join(leg, "doc_id")
+    first = F.col(f"_p_{terms[0]}")
+    hit = lambda i: reduce(  # noqa: E731
+        Column.__and__,
+        [F.array_contains(F.col(f"_p_{t}"), i + j)
+         for j, t in enumerate(terms) if j > 0],
+        F.lit(True),
+    )
+    ptf = F.size(F.filter(first, hit)) if len(terms) > 1 else F.size(first)
+    return (
+        legs.select("doc_id", ptf.cast("long").alias("ptf"))
+        .filter(F.col("ptf") > 0)
+    )
+
+
+# -- scoring ------------------------------------------------------------------
 
 def _synthetic_bm25(matched: DataFrame, count_col: str, forward: DataFrame,
                     n_docs: int, avgdl: float, k: int) -> DataFrame:
     """BM25 over a synthetic term whose per-doc tf is ``count_col`` and
-    whose df is the number of matched docs: the standard way to rank
-    phrase / proximity hits with the engine's scoring discipline
-    (doc-length normalization from the SAME corpus stats as term BM25)."""
+    whose df is the number of matched docs: phrase/proximity hits ranked
+    with the engine's scoring discipline (doc-length normalization from
+    the SAME corpus stats as term BM25)."""
     pdf = matched.count()  # candidate-set size: one cheap job, k-free
     if pdf == 0:
         return matched.sparkSession.createDataFrame(
@@ -131,6 +202,13 @@ def phrase_topk(docs: DataFrame, forward: DataFrame, phrase: str,
     """Top-k docs for an exact-phrase query, BM25-scored on phrase tf
     (phrase treated as one synthetic term). -> (doc_id, score)."""
     return _synthetic_bm25(phrase_match(docs, phrase), "ptf",
+                           forward, n_docs, avgdl, k)
+
+
+def phrase_topk_indexed(postings: DataFrame, forward: DataFrame, phrase: str,
+                        n_docs: int, avgdl: float, k: int = 10) -> DataFrame:
+    """phrase_topk over a persisted ``build_positional`` table."""
+    return _synthetic_bm25(phrase_match_indexed(postings, phrase), "ptf",
                            forward, n_docs, avgdl, k)
 
 

@@ -127,3 +127,37 @@ def test_near_topk_runs(spark, docs):
                     k=10).collect()
     assert out and out[0].doc_id == 0  # 3 pairs beats every 1-pair doc
     assert all(r.score > 0 for r in out)
+
+
+def test_indexed_phrase_matches_corpus_pass(spark, docs):
+    from searchengine_spark.operators.positional import (
+        build_positional,
+        phrase_match_indexed,
+    )
+
+    postings = build_positional(docs).cache()
+    for phrase in ["spark join", "join spark", "spark", "spark join fast"]:
+        direct = {(r.doc_id, r.ptf) for r in
+                  phrase_match(docs, phrase).collect()}
+        indexed = {(r.doc_id, r.ptf) for r in
+                   phrase_match_indexed(postings, phrase).collect()}
+        assert direct == indexed, phrase
+    postings.unpersist()
+
+
+def test_indexed_phrase_repeated_term(spark):
+    docs2 = spark.createDataFrame(
+        [(0, "a b a b a"), (1, "a b c a"), (2, "b a b")],
+        "doc_id long, text string",
+    )
+    from searchengine_spark.operators.positional import (
+        build_positional,
+        phrase_match_indexed,
+    )
+
+    postings = build_positional(docs2)
+    got = {r.doc_id: r.ptf
+           for r in phrase_match_indexed(postings, "a b a").collect()}
+    assert got == {0: 2}
+    direct = {r.doc_id: r.ptf for r in phrase_match(docs2, "a b a").collect()}
+    assert direct == got
