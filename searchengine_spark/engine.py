@@ -188,6 +188,33 @@ class SearchEngine:
                         set(self.tombstones()))
         return boolean_topk(tf, self.term_stats, self.scalars, query, k=k)
 
+    def search_phrase(self, phrase: str, k: int = 10) -> DataFrame:
+        """Exact-phrase top-k over the doc store (corpus-pass plan,
+        operators/positional.py): consecutive admitted tokens, BM25 on
+        phrase tf, tombstones masked. Requires the doc map to retain
+        text (keep_text builds, the default)."""
+        from searchengine_spark.operators.positional import phrase_topk
+
+        return phrase_topk(
+            self.doc_map.select("doc_id", "text"),
+            self.doc_map.select("doc_id", "dl"),
+            phrase, self.scalars.n_docs, self.scalars.avgdl, k=k,
+            exclude=self.tombstones(),
+        )
+
+    def search_near(self, term_a: str, term_b: str, window: int = 5,
+                    k: int = 10) -> DataFrame:
+        """Proximity (NEAR/window) top-k over the doc store; BM25 on the
+        within-window pair count, tombstones masked."""
+        from searchengine_spark.operators.positional import near_topk
+
+        return near_topk(
+            self.doc_map.select("doc_id", "text"),
+            self.doc_map.select("doc_id", "dl"),
+            term_a, term_b, self.scalars.n_docs, self.scalars.avgdl,
+            window=window, k=k, exclude=self.tombstones(),
+        )
+
     def search_batch(self, queries: list[tuple[int, str]], k: int = 10) -> DataFrame:
         """(query_id, rank, doc_id, score) for many queries in one pass.
         Tombstoned docs are masked like single-query search."""

@@ -197,12 +197,22 @@ def _synthetic_bm25(matched: DataFrame, count_col: str, forward: DataFrame,
     )
 
 
+def _mask(matched: DataFrame, exclude) -> DataFrame:
+    """Tombstone mask: drop deleted docs BEFORE the synthetic-df count
+    (the phrase df is a query-time quantity, not a pinned build stat,
+    so live-docs-only is the consistent reading)."""
+    if exclude:
+        return matched.filter(~F.col("doc_id").isin(sorted(exclude)))
+    return matched
+
+
 def phrase_topk(docs: DataFrame, forward: DataFrame, phrase: str,
-                n_docs: int, avgdl: float, k: int = 10) -> DataFrame:
+                n_docs: int, avgdl: float, k: int = 10,
+                exclude=None) -> DataFrame:
     """Top-k docs for an exact-phrase query, BM25-scored on phrase tf
     (phrase treated as one synthetic term). -> (doc_id, score)."""
-    return _synthetic_bm25(phrase_match(docs, phrase), "ptf",
-                           forward, n_docs, avgdl, k)
+    return _synthetic_bm25(_mask(phrase_match(docs, phrase), exclude),
+                           "ptf", forward, n_docs, avgdl, k)
 
 
 def phrase_topk_indexed(postings: DataFrame, forward: DataFrame, phrase: str,
@@ -214,8 +224,9 @@ def phrase_topk_indexed(postings: DataFrame, forward: DataFrame, phrase: str,
 
 def near_topk(docs: DataFrame, forward: DataFrame, term_a: str, term_b: str,
               n_docs: int, avgdl: float, window: int = 5,
-              k: int = 10) -> DataFrame:
+              k: int = 10, exclude=None) -> DataFrame:
     """Top-k docs for ``term_a NEAR/window term_b``, BM25-scored on the
     within-window pair count. -> (doc_id, score)."""
-    return _synthetic_bm25(near_match(docs, term_a, term_b, window), "pairs",
-                           forward, n_docs, avgdl, k)
+    return _synthetic_bm25(
+        _mask(near_match(docs, term_a, term_b, window), exclude),
+        "pairs", forward, n_docs, avgdl, k)

@@ -7,7 +7,10 @@ renders results (SearchEngine Engine/Engine/Engine.cs:32-96). Here the
 same lifecycle is a stdlib ``ThreadingHTTPServer`` in front of
 ``engine.SearchEngine`` (load once, serve many):
 
-    GET /search?q=words&k=10[&mode=wand|term|exhaustive|reference][&snippets=1]
+    GET /search?q=words&k=10[&mode=wand|term|exhaustive|reference|
+                              phrase|near][&w=5][&snippets=1]
+        (mode=phrase: q is an exact phrase; mode=near: q is two terms,
+         w the token window)
         -> {"query": ..., "k": ..., "took_ms": ..., "results":
             [{"doc_id": ..., "score": ...}, ...]}
     GET /doc?id=123      -> the doc-store row (text + turn metadata)
@@ -32,7 +35,22 @@ from urllib.parse import parse_qs, urlparse
 
 from searchengine_spark.engine import SearchEngine
 
-_MODES = {"wand", "term", "exhaustive", "reference"}
+_MODES = {"wand", "term", "exhaustive", "reference", "phrase", "near"}
+
+
+def _run_search(engine: SearchEngine, q: str, k: int, mode: str,
+                window: int):
+    """Dispatch one /search request to the engine method for ``mode``
+    (phrase/near are positional plans over the doc store; the rest are
+    posting-list plans)."""
+    if mode == "phrase":
+        return engine.search_phrase(q, k=k)
+    if mode == "near":
+        terms = q.split()
+        if len(terms) != 2:
+            raise ValueError("mode=near needs exactly two terms in q")
+        return engine.search_near(terms[0], terms[1], window=window, k=k)
+    return engine.search(q, k=k, mode=mode)
 
 
 def _json_bytes(obj) -> bytes:
@@ -67,6 +85,7 @@ def make_handler(engine: SearchEngine, lock: threading.Lock):
                         self._reply(400, {"error": f"unknown mode {mode!r}"})
                         return
                     want_snip = (qs.get("snippets") or ["0"])[0] == "1"
+                    window = int((qs.get("w") or ["5"])[0])
                     t0 = time.perf_counter()
                     with lock:  # one Spark action at a time (driver JVM)
                         if want_snip:
@@ -75,7 +94,7 @@ def make_handler(engine: SearchEngine, lock: threading.Lock):
                             )
                             from pyspark.sql import functions as F
 
-                            topk = engine.search(q, k=k, mode=mode)
+                            topk = _run_search(engine, q, k, mode, window)
                             joined = engine.doc_map.select(
                                 "doc_id", "text").join(
                                 F.broadcast(topk), "doc_id")
@@ -83,7 +102,8 @@ def make_handler(engine: SearchEngine, lock: threading.Lock):
                                     .orderBy(F.desc("score"),
                                              F.asc("doc_id")).collect())
                         else:
-                            rows = engine.search(q, k=k, mode=mode).collect()
+                            rows = _run_search(engine, q, k, mode,
+                                               window).collect()
                     self._reply(200, {
                         "query": q, "k": k, "mode": mode,
                         "took_ms": round((time.perf_counter() - t0) * 1e3, 1),

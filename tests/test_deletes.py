@@ -164,3 +164,22 @@ def test_compact_applies_tombstones(spark, small, tmp_path_factory):
     a = sorted(map(tuple, live_tf.collect()))
     b = sorted(map(tuple, orig_tf.collect()))
     assert a == b and a
+
+
+def test_phrase_and_near_respect_tombstones(eng):
+    row = eng.doc_map.select("doc_id", "text").first()
+    toks = [t.lower() for t in row["text"].split() if t.isalpha()]
+    phrase = f"{toks[0]} {toks[1]}"
+    before = {r.doc_id for r in eng.search_phrase(phrase, k=50).collect()}
+    assert before, "fixture phrase must hit"
+    victim = min(before)
+    eng.delete_docs([victim])
+    after = {r.doc_id for r in eng.search_phrase(phrase, k=50).collect()}
+    assert victim not in after
+    # removing a doc only moves others up: every other hit survives,
+    # and the freed slot may refill with a new doc
+    assert (before - {victim}) <= after
+    near_after = {r.doc_id
+                  for r in eng.search_near(toks[0], toks[1], window=3,
+                                           k=50).collect()}
+    assert victim not in near_after

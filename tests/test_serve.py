@@ -150,3 +150,35 @@ def test_search_with_snippets(served):
     assert status == 200 and len(body["results"]) == 3
     for r in body["results"]:
         assert "bababa" in r["snippet"].lower()
+
+
+def test_search_phrase_and_near_modes(served):
+    eng, base = served
+    # pick an actually-occurring bigram from the doc store
+    row = eng.doc_map.select("text").first()
+    toks = [t.lower() for t in row["text"].split() if t.isalpha()]
+    phrase = f"{toks[0]} {toks[1]}"
+    status, body = _get(
+        f"{base}/search?q={phrase.replace(' ', '+')}&mode=phrase&k=5")
+    assert status == 200 and body["mode"] == "phrase"
+    direct = [(r.doc_id, round(r.score, 9))
+              for r in eng.search_phrase(phrase, k=5).collect()]
+    got = [(r["doc_id"], round(r["score"], 9)) for r in body["results"]]
+    assert got == direct and len(got) > 0
+
+    status, body = _get(
+        f"{base}/search?q={toks[0]}+{toks[2]}&mode=near&w=4&k=5")
+    assert status == 200
+    direct = [(r.doc_id, round(r.score, 9))
+              for r in eng.search_near(toks[0], toks[2], window=4,
+                                       k=5).collect()]
+    got = [(r["doc_id"], round(r["score"], 9)) for r in body["results"]]
+    assert got == direct
+
+
+def test_near_mode_needs_two_terms(served):
+    _, base = served
+    import urllib.error
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{base}/search?q=one&mode=near")
+    assert e.value.code == 500
