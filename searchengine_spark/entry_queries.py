@@ -572,6 +572,36 @@ SELECT id_a, id_b, round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= {_JACCARD_THRESHOLD}"""
 
+def q_split_contamination(spark, sf_dir):
+    """Train/eval decontamination (operators/decontam.py): eval-split
+    docs sharing 3-gram shingles with any train doc, via the
+    shingle-keyed inverted-index join over hash-stable splits."""
+    from searchengine_spark.operators.decontam import (
+        cross_split_contamination,
+    )
+
+    return cross_split_contamination(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "split",
+        "n_shared_shingles", "n_train_docs",
+    )
+
+
+SQL_SPLIT_CONTAMINATION = f"""WITH {_SHINGLE_CTES},
+lab AS (SELECT doc_id,
+  CASE WHEN (('0x' || substring(md5(doc_id::VARCHAR || '|split-v1'), 1, 8))::BIGINT % 10000) < 9000 THEN 'train'
+       WHEN (('0x' || substring(md5(doc_id::VARCHAR || '|split-v1'), 1, 8))::BIGINT % 10000) < 9500 THEN 'val'
+       ELSE 'test' END AS split
+  FROM documents),
+shl AS (SELECT s.doc_id, s.shingle, l.split FROM sh s JOIN lab l USING (doc_id)),
+train AS (SELECT doc_id AS train_doc_id, shingle FROM shl WHERE split = 'train'),
+ev AS (SELECT doc_id, split, shingle FROM shl WHERE split IN ('val', 'test'))
+SELECT e.doc_id::BIGINT AS doc_id, e.split,
+       count(DISTINCT e.shingle)::BIGINT AS n_shared_shingles,
+       count(DISTINCT t.train_doc_id)::BIGINT AS n_train_docs
+FROM ev e JOIN train t USING (shingle)
+GROUP BY 1, 2"""
+
+
 _N_PERM = 8
 _MH_A, _MH_B = minhash_params(_N_PERM)
 _MH_P = (1 << 61) - 1
@@ -1507,6 +1537,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "dedup_components": q_dedup_components,
+        "split_contamination": q_split_contamination,
         "minhash_signatures": q_minhash_signatures,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "lsh_candidate_pairs": q_lsh_candidates,
@@ -1573,6 +1604,7 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
         "dedup_components": SQL_DEDUP_COMPONENTS,
+        "split_contamination": SQL_SPLIT_CONTAMINATION,
         "minhash_signatures": SQL_MINHASH_SIGNATURES,
         "minhash_dedup_pairs": SQL_MINHASH_DEDUP_PAIRS,
         "lsh_candidate_pairs": SQL_LSH_CANDIDATES,
