@@ -985,6 +985,49 @@ CROSS JOIN tot t
 ORDER BY pmi DESC, bigram ASC LIMIT 20"""
 
 
+def q_doc_logprob(spark, sf_dir):
+    """Perplexity-proxy quality filter (operators/textstats.py
+    doc_unigram_logprob): per-doc average unigram-LM logprob against the
+    corpus distribution; one hash join + one per-doc agg."""
+    from searchengine_spark.operators.textstats import doc_unigram_logprob
+
+    _, _, tf_table, stats, scalars = _index_parts(spark, sf_dir)
+    out = doc_unigram_logprob(tf_table, stats, scalars.sum_dl)
+    return out.select("doc_id", "dl",
+                      F.round("avg_logprob", 6).alias("avg_logprob"))
+
+
+SQL_DOC_LOGPROB = f"""WITH {BASE_CTES}
+SELECT tf.doc_id, max(dl.dl)::BIGINT AS dl,
+       round(sum(tf.tf * ln(s.cf / (SELECT sum(dl)::DOUBLE FROM dl)))
+             / max(dl.dl), 6) AS avg_logprob
+FROM tf JOIN stats s USING (term) JOIN dl USING (doc_id)
+GROUP BY 1"""
+
+
+def q_source_divergence(spark, sf_dir):
+    """Per-source KL drift vs the corpus unigram distribution
+    (operators/textstats.py source_divergence)."""
+    from searchengine_spark.operators.textstats import source_divergence
+
+    docs, _, tf_table, _, scalars = _index_parts(spark, sf_dir)
+    out = source_divergence(tf_table, docs.select("doc_id", "source"),
+                            scalars.sum_dl)
+    return out.select("source", F.round("kl", 6).alias("kl"))
+
+
+SQL_SOURCE_DIVERGENCE = f"""WITH {BASE_CTES},
+st AS (SELECT d.source, tf.term, sum(tf.tf)::BIGINT AS cfs
+       FROM tf JOIN documents d USING (doc_id) GROUP BY 1, 2),
+stot AS (SELECT source, sum(cfs)::BIGINT AS ts FROM st GROUP BY 1)
+SELECT st.source,
+       round(sum((st.cfs::DOUBLE / stot.ts)
+                 * ln((st.cfs::DOUBLE / stot.ts)
+                      / (s.cf / (SELECT sum(dl)::DOUBLE FROM dl)))), 6) AS kl
+FROM st JOIN stot USING (source) JOIN stats s USING (term)
+GROUP BY 1"""
+
+
 def q_lang_id(spark, sf_dir):
     return textstats.lang_id(_docs(spark, sf_dir))
 
@@ -1555,6 +1598,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_text": q_conversation_text,
         "stratified_sample": q_stratified_sample,
         "bigram_pmi": q_bigram_pmi,
+        "doc_logprob": q_doc_logprob,
+        "source_divergence": q_source_divergence,
         "quality_score": q_quality,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_fingerprint,
@@ -1620,6 +1665,8 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "conversation_text": SQL_CONVERSATION_TEXT,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "bigram_pmi": SQL_BIGRAM_PMI,
+        "doc_logprob": SQL_DOC_LOGPROB,
+        "source_divergence": SQL_SOURCE_DIVERGENCE,
         "quality_score": SQL_QUALITY,
         "token_counts": SQL_TOKEN_COUNTS,
         "doc_fingerprint": SQL_FINGERPRINT,

@@ -132,3 +132,65 @@ def doc_keywords(tf_table: DataFrame, term_stats: DataFrame, n_docs: int,
         .select("doc_id", F.col("rank").cast("long").alias("rank"),
                 "term", F.round("tfidf", 6).alias("tfidf"))
     )
+
+
+def doc_unigram_logprob(
+    tf_table: DataFrame,
+    term_stats: DataFrame,
+    total_tokens: int,
+) -> DataFrame:
+    """Per-doc average unigram-LM log-probability — the perplexity-proxy
+    quality filter (docs far below the corpus-typical logprob are noise;
+    far above are degenerate/repetitive). A model-based filter with a
+    purely relational plan:
+
+        avg_lp(d) = sum_t tf(d,t) * ln(cf(t) / T) / dl(d)
+
+    One hash join tf ⋈ stats on term (NOT broadcast: stats is
+    vocabulary-sized, the unbounded-broadcast trap), one per-doc agg.
+    -> (doc_id, dl, avg_logprob).
+    """
+    j = tf_table.join(term_stats.select("term", "cf"), "term")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.max("dl").cast("long").alias("dl"),
+            (F.sum(F.col("tf") * F.log(F.col("cf")
+                                       / F.lit(float(total_tokens))))
+             / F.max("dl")).alias("avg_logprob"),
+        )
+    )
+
+
+def source_divergence(
+    tf_table: DataFrame,
+    doc_meta: DataFrame,
+    total_tokens: int,
+    meta_col: str = "source",
+) -> DataFrame:
+    """KL(source term distribution ‖ corpus distribution) per source —
+    the drift / contamination detector (a source whose unigram mix
+    diverges from the corpus is boilerplate, spam, or another domain).
+
+        KL(s) = sum_t p_s(t) * ln(p_s(t) / q(t)),
+        p_s = cf_s/T_s, q = cf/T
+
+    Every source term exists in the corpus (subset), so q > 0 always.
+    Plan: tf ⋈ doc meta on doc_id (hash), agg to (source, term), join
+    corpus cf on term, one agg per source. -> (source, kl).
+    """
+    src_term = (
+        tf_table.join(doc_meta.select("doc_id", meta_col), "doc_id")
+        .groupBy(meta_col, "term")
+        .agg(F.sum("tf").alias("cfs"))
+    )
+    src_tot = src_term.groupBy(meta_col).agg(F.sum("cfs").alias("ts"))
+    corpus = tf_table.groupBy("term").agg(F.sum("tf").alias("cf"))
+    p = F.col("cfs") / F.col("ts")
+    q = F.col("cf") / F.lit(float(total_tokens))
+    return (
+        src_term.join(src_tot, meta_col)
+        .join(corpus, "term")
+        .groupBy(meta_col)
+        .agg(F.sum(p * F.log(p / q)).alias("kl"))
+    )

@@ -107,3 +107,57 @@ def test_bigram_pmi_vs_python(spark):
         assert abs(got[bg][1] - pmi) < 1e-6
     # "new york" is the dominant collocation by count
     assert got["new york"][0] == max(n for n, _ in got.values())
+
+
+def test_doc_logprob_vs_python(spark):
+    import math as _m
+    from searchengine_spark.operators.forward import (
+        build_forward, build_term_stats, explode_forward)
+    from searchengine_spark.operators.textstats import doc_unigram_logprob
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    fwd = build_forward(docs)
+    tf_table = explode_forward(fwd)
+    stats = build_term_stats(tf_table)
+    from searchengine_spark.functions.tokenize import tokenize_py as tok
+    toks = {d: tok(t) for d, t in CORPUS}
+    T = sum(len(v) for v in toks.values())
+    cf = Counter(t for v in toks.values() for t in v)
+    want = {}
+    for d, v in toks.items():
+        if not v:
+            continue
+        want[d] = sum(_m.log(cf[t] / T) for t in v) / len(v)
+    got = {r.doc_id: r.avg_logprob
+           for r in doc_unigram_logprob(tf_table, stats, T).collect()}
+    assert set(got) == set(want)
+    for d in want:
+        assert abs(got[d] - want[d]) < 1e-9
+
+
+def test_source_divergence_vs_python(spark):
+    import math as _m
+    from searchengine_spark.operators.forward import (
+        build_forward, explode_forward)
+    from searchengine_spark.operators.textstats import source_divergence
+    from searchengine_spark.functions.tokenize import tokenize_py as tok
+
+    rows = [(d, t, "a" if d % 2 == 0 else "b") for d, t in CORPUS]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    tf_table = explode_forward(build_forward(docs))
+    toks = {d: tok(t) for d, t, _ in rows}
+    T = sum(len(v) for v in toks.values())
+    cf = Counter(t for v in toks.values() for t in v)
+    want = {}
+    for src in ("a", "b"):
+        cfs = Counter(t for d, v in toks.items()
+                      for t in v if (("a" if d % 2 == 0 else "b") == src))
+        ts = sum(cfs.values())
+        want[src] = sum((c / ts) * _m.log((c / ts) / (cf[t] / T))
+                        for t, c in cfs.items())
+    got = {r.source: r.kl for r in source_divergence(
+        tf_table, docs.select("doc_id", "source"), T).collect()}
+    assert set(got) == set(want)
+    for s in want:
+        assert abs(got[s] - want[s]) < 1e-9
+    assert all(v >= -1e-12 for v in got.values())  # KL non-negative
