@@ -45,6 +45,7 @@ class SearchEngine:
     scalars: CorpusScalars
     doc_segments: DataFrame | None
     term_segments: DataFrame | None = None
+    pos_postings: DataFrame | None = None
 
     @staticmethod
     def load(spark: SparkSession, index_dir: str,
@@ -59,6 +60,9 @@ class SearchEngine:
         term_path = os.path.join(index_dir, "term_segments.parquet")
         tsegs = (spark.read.parquet(term_path)
                  if os.path.exists(term_path) else None)
+        pos_path = os.path.join(index_dir, "pos_postings.parquet")
+        pos = (spark.read.parquet(pos_path)
+               if os.path.exists(pos_path) else None)
         return SearchEngine(
             spark=spark,
             index_dir=index_dir,
@@ -69,6 +73,7 @@ class SearchEngine:
             ),
             doc_segments=segs,
             term_segments=tsegs,
+            pos_postings=pos,
         )
 
     # -- deletes (tombstone mask now, physical purge at compaction) ------
@@ -189,12 +194,23 @@ class SearchEngine:
         return boolean_topk(tf, self.term_stats, self.scalars, query, k=k)
 
     def search_phrase(self, phrase: str, k: int = 10) -> DataFrame:
-        """Exact-phrase top-k over the doc store (corpus-pass plan,
-        operators/positional.py): consecutive admitted tokens, BM25 on
-        phrase tf, tombstones masked. Requires the doc map to retain
-        text (keep_text builds, the default)."""
-        from searchengine_spark.operators.positional import phrase_topk
+        """Exact-phrase top-k: consecutive admitted tokens, BM25 on
+        phrase tf, tombstones masked (operators/positional.py). Uses the
+        persisted positional layout when the index was built with
+        layouts=(..., "pos") — the query then reads only the phrase
+        terms' posting rows — and falls back to the corpus-pass plan
+        over the doc store's text otherwise."""
+        from searchengine_spark.operators.positional import (
+            phrase_topk,
+            phrase_topk_indexed,
+        )
 
+        if self.pos_postings is not None:
+            return phrase_topk_indexed(
+                self.pos_postings, self.doc_map.select("doc_id", "dl"),
+                phrase, self.scalars.n_docs, self.scalars.avgdl, k=k,
+                exclude=self.tombstones(),
+            )
         return phrase_topk(
             self.doc_map.select("doc_id", "text"),
             self.doc_map.select("doc_id", "dl"),

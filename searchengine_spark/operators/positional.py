@@ -216,10 +216,12 @@ def phrase_topk(docs: DataFrame, forward: DataFrame, phrase: str,
 
 
 def phrase_topk_indexed(postings: DataFrame, forward: DataFrame, phrase: str,
-                        n_docs: int, avgdl: float, k: int = 10) -> DataFrame:
+                        n_docs: int, avgdl: float, k: int = 10,
+                        exclude=None) -> DataFrame:
     """phrase_topk over a persisted ``build_positional`` table."""
-    return _synthetic_bm25(phrase_match_indexed(postings, phrase), "ptf",
-                           forward, n_docs, avgdl, k)
+    return _synthetic_bm25(
+        _mask(phrase_match_indexed(postings, phrase), exclude),
+        "ptf", forward, n_docs, avgdl, k)
 
 
 def near_topk(docs: DataFrame, forward: DataFrame, term_a: str, term_b: str,

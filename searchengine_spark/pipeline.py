@@ -67,6 +67,7 @@ class BuiltIndex:
     scalars: CorpusScalars
     doc_segments: DataFrame | None
     term_segments: DataFrame | None
+    pos_postings: DataFrame | None = None
 
 
 def _manifest_path(out_dir: str) -> str:
@@ -399,6 +400,30 @@ def run_build(
         _stage(out_dir, "term_segments", termseg, force, storage)
         term_segments = storage.read("term_segments")
 
+    pos_postings = None
+    if "pos" in layouts:
+        def posseg():
+            from searchengine_spark.operators.positional import (
+                build_positional,
+            )
+
+            # positions need token ORDER, which doc_map's aggregated
+            # (terms, tfs) dropped — one extra Arrow pass over the stored
+            # text (pay only when the layout is requested). Range-
+            # partition + sort by term so each file holds a term range:
+            # phrase queries prune to the query terms' files via
+            # row-group min/max, the on-disk analog of a term directory.
+            pos = (
+                build_positional(doc_map.select("doc_id", "text"))
+                .repartitionByRange(F.col("term"))
+                .sortWithinPartitions("term", "doc_id")
+            )
+            storage.write(pos, "pos_postings")
+            return _partition_metrics(storage.read("pos_postings"))
+
+        _stage(out_dir, "pos_postings", posseg, force, storage)
+        pos_postings = storage.read("pos_postings")
+
     return BuiltIndex(
         out_dir=out_dir,
         doc_map=doc_map,
@@ -407,4 +432,5 @@ def run_build(
         scalars=scalars,
         doc_segments=doc_segments,
         term_segments=term_segments,
+        pos_postings=pos_postings,
     )

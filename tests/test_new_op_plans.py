@@ -89,3 +89,41 @@ def test_positional_index_query_correct_after_roundtrip(spark, docs, tmp_path):
     got = {r.doc_id: r.ptf
            for r in phrase_match_indexed(postings, "alpha beta").collect()}
     assert len(got) == 50 and all(v == 2 for v in got.values())
+
+
+def test_pos_layout_build_and_engine(spark, tmp_path_factory):
+    """layouts=("doc","pos"): the positional table is persisted with a
+    manifest row, resume skips it, and engine.search_phrase over the
+    indexed plan is rank+score-identical to the corpus-pass plan."""
+    from searchengine_spark.engine import SearchEngine
+    from searchengine_spark.pipeline import committed_stages, run_build
+    from searchengine_spark.sources.synth import transcripts_df
+
+    small = transcripts_df(spark, n_convs=60, seed=7, partitions=4)
+    out = str(tmp_path_factory.mktemp("posidx"))
+    run_build(spark, small, out, num_doc_partitions=2,
+              layouts=("doc", "pos"))
+    assert "pos_postings" in committed_stages(out)
+
+    eng = SearchEngine.load(spark, out)
+    assert eng.pos_postings is not None
+    row = eng.doc_map.select("text").first()
+    toks = [t.lower() for t in row["text"].split() if t.isalpha()]
+    phrase = f"{toks[0]} {toks[1]}"
+    via_index = [(r.doc_id, round(r.score, 9))
+                 for r in eng.search_phrase(phrase, k=10).collect()]
+    eng_nopos = SearchEngine(
+        spark=eng.spark, index_dir=eng.index_dir, doc_map=eng.doc_map,
+        term_stats=eng.term_stats, scalars=eng.scalars,
+        doc_segments=eng.doc_segments)
+    via_scan = [(r.doc_id, round(r.score, 9))
+                for r in eng_nopos.search_phrase(phrase, k=10).collect()]
+    assert via_index == via_scan and via_index
+
+    # resume: second run must skip the committed stage (no rewrite)
+    import os
+    mtime = os.path.getmtime(os.path.join(out, "pos_postings.parquet"))
+    run_build(spark, small, out, num_doc_partitions=2,
+              layouts=("doc", "pos"))
+    assert os.path.getmtime(
+        os.path.join(out, "pos_postings.parquet")) == mtime
