@@ -985,6 +985,62 @@ CROSS JOIN tot t
 ORDER BY pmi DESC, bigram ASC LIMIT 20"""
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Degenerate-text detector (operators/textstats.py
+    repetition_stats): share of a doc's 3-grams taken by its most
+    repeated 3-gram — in-row list algebra, no explode/shuffle."""
+    return textstats.repetition_stats(_docs(spark, sf_dir)).select(
+        "doc_id", "n_ngrams", "top_ngram_frac")
+
+
+SQL_REPETITION_STATS = f"""WITH
+tokd AS (SELECT doc_id, {_TOKS_TEXT} AS t FROM documents),
+grams AS (SELECT doc_id,
+  CASE WHEN len(t) >= 3
+       THEN list_transform(range(1, len(t) - 1),
+                           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+       ELSE [] END AS g FROM tokd)
+SELECT doc_id, len(g)::BIGINT AS n_ngrams,
+  CASE WHEN len(g) > 0 THEN round(
+    list_max(list_transform(list_distinct(g),
+                            x -> len(list_filter(g, y -> y = x))))::DOUBLE
+    / len(g), 6)
+  ELSE 0.0 END AS top_ngram_frac
+FROM grams"""
+
+
+_PII_SUFFIX = (" contact a.b@example.org or https://ex.io ;"
+               " call +1 555-123-4567 at 10.0.0.1")
+
+
+def q_pii_scan(spark, sf_dir):
+    """PII-shaped span counts (operators/textstats.py pii_scan):
+    emails/URLs/phones/IPv4s per doc, JVM regexp_count columns. The sf
+    corpus contains no digits/URLs, so a deterministic PII suffix is
+    planted on every 7th doc (identically in the oracle) — the gate
+    compares NONZERO counts, not a vacuous all-zeros frame."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(_PII_SUFFIX)))
+        .otherwise(F.col("text")),
+    )
+    return textstats.pii_scan(docs)
+
+
+SQL_PII_SCAN = rf"""WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || '{_PII_SUFFIX}'
+              ELSE text END AS text
+  FROM documents)
+SELECT doc_id,
+len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}'))::BIGINT AS emails,
+len(regexp_extract_all(text, 'https?://[^\s]+'))::BIGINT AS urls,
+len(regexp_extract_all(text, '\+?\d[\d\-\s()]{{7,}}\d'))::BIGINT AS phones,
+len(regexp_extract_all(text, '\b(?:\d{{1,3}}\.){{3}}\d{{1,3}}\b'))::BIGINT AS ipv4s
+FROM aug"""
+
+
 def q_doc_logprob(spark, sf_dir):
     """Perplexity-proxy quality filter (operators/textstats.py
     doc_unigram_logprob): per-doc average unigram-LM logprob against the
@@ -1599,6 +1655,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "bigram_pmi": q_bigram_pmi,
         "doc_logprob": q_doc_logprob,
+        "repetition_stats": q_repetition_stats,
+        "pii_scan": q_pii_scan,
         "source_divergence": q_source_divergence,
         "quality_score": q_quality,
         "token_counts": q_token_counts,
@@ -1666,6 +1724,8 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "bigram_pmi": SQL_BIGRAM_PMI,
         "doc_logprob": SQL_DOC_LOGPROB,
+        "repetition_stats": SQL_REPETITION_STATS,
+        "pii_scan": SQL_PII_SCAN,
         "source_divergence": SQL_SOURCE_DIVERGENCE,
         "quality_score": SQL_QUALITY,
         "token_counts": SQL_TOKEN_COUNTS,

@@ -194,3 +194,66 @@ def source_divergence(
         .groupBy(meta_col)
         .agg(F.sum(p * F.log(p / q)).alias("kl"))
     )
+
+
+def repetition_stats(docs: DataFrame, n: int = 3,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Degenerate-text detector: what fraction of a doc's n-grams is its
+    single most-repeated n-gram? (Looping generations / boilerplate spam
+    score near 1; natural text scores near 1/#ngrams.) In-row plan:
+    n-grams by zip_with over array slices, mode frequency via
+    aggregate over the distinct list — no explode, no shuffle.
+
+    -> (doc_id, n_ngrams, top_ngram_frac); docs with < n tokens emit
+    n_ngrams = 0, frac 0.0.
+    """
+    toks = F.col("_toks")
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.when(
+        cnt > 0,
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("_grams")),
+            lambda g: F.size(F.filter(F.col("_grams"), lambda x: x == g)),
+        )
+    )
+    return (
+        with_tokens(docs).withColumnRenamed("tokens", "_toks")
+        .withColumn("_grams", grams)
+        .select(
+            id_col,
+            F.size("_grams").cast("long").alias("n_ngrams"),
+            F.when(
+                F.size("_grams") > 0,
+                F.round(top.cast("double") / F.size("_grams"), 6),
+            ).otherwise(F.lit(0.0)).alias("top_ngram_frac"),
+        )
+    )
+
+
+_PII_PATTERNS = {
+    # deliberately simple, auditable patterns — the pipeline signal is
+    # "how much PII-looking material", not a redaction guarantee
+    "emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "urls": r"https?://[^\s]+",
+    "phones": r"\+?\d[\d\-\s()]{7,}\d",
+    "ipv4s": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def pii_scan(docs: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Per-doc counts of PII-shaped spans (emails, URLs, phone numbers,
+    IPv4s) — the scrubbing-priority signal every training pipeline
+    computes before redaction. Pure JVM ``regexp_count`` columns, one
+    scan, no UDF."""
+    cols = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(name)
+        for name, pat in _PII_PATTERNS.items()
+    ]
+    return docs.select(id_col, *cols)

@@ -161,3 +161,48 @@ def test_source_divergence_vs_python(spark):
     for s in want:
         assert abs(got[s] - want[s]) < 1e-9
     assert all(v >= -1e-12 for v in got.values())  # KL non-negative
+
+
+def test_repetition_stats_vs_python(spark):
+    from searchengine_spark.functions.tokenize import tokenize_py as tok
+    from searchengine_spark.operators.textstats import repetition_stats
+
+    rows = [
+        (0, "spam spam spam spam spam spam"),        # one 3-gram repeated
+        (1, "the quick brown fox jumps over dogs"),  # all distinct
+        (2, "ab cd"),                                 # < 3 tokens
+        (3, ""),                                      # empty
+        (4, "x y x y x y x y"),                       # alternating loop
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_ngrams, r.top_ngram_frac)
+           for r in repetition_stats(docs, n=3).collect()}
+    for d, text in rows:
+        t = tok(text)
+        grams = [" ".join(t[i:i + 3]) for i in range(len(t) - 2)]
+        if grams:
+            from collections import Counter as _C
+            want = (len(grams),
+                    round(max(_C(grams).values()) / len(grams), 6))
+        else:
+            want = (0, 0.0)
+        assert got[d] == want, (d, got[d], want)
+    assert got[0][1] == 1.0 and got[1][1] < 0.3
+
+
+def test_pii_scan(spark):
+    from searchengine_spark.operators.textstats import pii_scan
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail me at a.b+c@example.org or visit https://x.io/p?q=1"),
+            (1, "call +1 (555) 123-4567; server at 10.0.0.1 and 8.8.8.8"),
+            (2, "clean text, no identifiers"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.emails, r.urls, r.phones, r.ipv4s)
+           for r in pii_scan(docs).collect()}
+    assert got[0][0] == 1 and got[0][1] == 1
+    assert got[1][2] >= 1 and got[1][3] == 2
+    assert got[2] == (0, 0, 0, 0)
