@@ -572,6 +572,36 @@ SELECT id_a, id_b, round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= {_JACCARD_THRESHOLD}"""
 
+def q_dedup_keep_first(spark, sf_dir):
+    """Batch twin of the in-stream exact dedup
+    (streaming/dedup_stream.py): earliest arrival per content hash wins
+    (arrival = synthesized doc_id-ordered timestamps here)."""
+    import datetime
+
+    from searchengine_spark.streaming.dedup_stream import dedup_keep_first
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        "text",
+        (F.lit(datetime.datetime(2026, 1, 1))
+         + F.make_dt_interval(secs=F.col("doc_id").cast("double")))
+        .alias("ts"),
+        F.col("doc_id"),
+    )
+    out = dedup_keep_first(docs)
+    return out.select("text_md5",
+                      F.col("doc_id").cast("long").alias("keep_doc"))
+
+
+SQL_DEDUP_KEEP_FIRST = """SELECT md5(text) AS text_md5,
+doc_id::BIGINT AS keep_doc
+FROM (SELECT doc_id, text,
+             row_number() OVER (PARTITION BY md5(text)
+                                ORDER BY doc_id) AS rn
+      FROM documents) WHERE rn = 1"""
+
+
 def q_split_contamination(spark, sf_dir):
     """Train/eval decontamination (operators/decontam.py): eval-split
     docs sharing 3-gram shingles with any train doc, via the
@@ -1637,6 +1667,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "dedup_components": q_dedup_components,
         "split_contamination": q_split_contamination,
+        "dedup_keep_first": q_dedup_keep_first,
         "minhash_signatures": q_minhash_signatures,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "lsh_candidate_pairs": q_lsh_candidates,
@@ -1708,6 +1739,7 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
         "dedup_components": SQL_DEDUP_COMPONENTS,
         "split_contamination": SQL_SPLIT_CONTAMINATION,
+        "dedup_keep_first": SQL_DEDUP_KEEP_FIRST,
         "minhash_signatures": SQL_MINHASH_SIGNATURES,
         "minhash_dedup_pairs": SQL_MINHASH_DEDUP_PAIRS,
         "lsh_candidate_pairs": SQL_LSH_CANDIDATES,

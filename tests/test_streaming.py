@@ -289,3 +289,48 @@ def test_incremental_to_engine_serving(spark, stream_dirs, tmp_path_factory):
     want = [(int(r.doc_id), round(float(r.score), 9))
             for r in exh.collect()]
     assert got == want
+
+
+def test_stream_dedup_exact(spark, tmp_path_factory):
+    """In-stream exact dedup: first arrival of each content hash is
+    emitted exactly once; later duplicates (within the watermark
+    horizon) are dropped; the emitted set equals the batch keep-first
+    twin over the same files in arrival order."""
+    import datetime as dt
+
+    from searchengine_spark.streaming.dedup_stream import (
+        dedup_keep_first,
+        stream_dedup_exact,
+    )
+
+    base = tmp_path_factory.mktemp("sdedup")
+    in_dir, out_dir, ckpt = (str(base / d) for d in ("in", "out", "ckpt"))
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def rows(batch, items):
+        return [(f"c{batch}", i, "user", text, None,
+                 t0 + dt.timedelta(minutes=batch * 10 + i))
+                for i, text in enumerate(items)]
+
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    # file 0: a, b, dup-a-in-batch; file 1: dup-a, dup-b, c
+    spark.createDataFrame(rows(0, ["a text", "b text", "a text"]), schema) \
+        .coalesce(1).write.mode("append").parquet(in_dir)
+    spark.createDataFrame(rows(1, ["a text", "b text", "c text"]), schema) \
+        .coalesce(1).write.mode("append").parquet(in_dir)
+
+    q = stream_dedup_exact(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir).collect()
+    texts = sorted(r.text for r in got)
+    assert texts == ["a text", "b text", "c text"]
+    # emitted row = FIRST arrival (batch 0 conv for a/b, batch 1 for c)
+    by_text = {r.text: r.conv_id for r in got}
+    assert by_text["a text"] == "c0" and by_text["b text"] == "c0"
+    assert by_text["c text"] == "c1"
+
+    batch = dedup_keep_first(spark.read.parquet(in_dir))
+    want = {(r.text, r.conv_id) for r in batch.collect()}
+    assert {(r.text, r.conv_id) for r in got} == want
