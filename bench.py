@@ -684,6 +684,20 @@ def query_bench(spark) -> tuple[dict, dict]:
 
     raw_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     timed("dedup_exact", lambda: dedup.dedup_exact(raw_docs).count())
+    # dedup end-stage + decontamination + LM-quality filters (the word-
+    # salad corpus's tiny vocabulary makes the shingle joins DENSER than
+    # real text — these are conservative timings)
+    from searchengine_spark.operators.decontam import (
+        cross_split_contamination,
+    )
+    from searchengine_spark.operators.textstats import doc_unigram_logprob
+
+    timed("dedup_components", lambda: dedup.connected_components(
+        dedup.ngram_jaccard_pairs(raw_docs, threshold=0.1)).count())
+    timed("split_contamination", lambda: cross_split_contamination(
+        raw_docs).count())
+    timed("doc_logprob", lambda: doc_unigram_logprob(
+        idx.tf_table, idx.term_stats, idx.scalars.sum_dl).count())
     timed("minhash_lsh", lambda: dedup.lsh_candidate_pairs_wide(
         dedup.minhash_signatures_wide(raw_docs, n_perm=8),
         n_perm=8, n_bands=4).count())
