@@ -714,10 +714,16 @@ def query_bench(spark) -> tuple[dict, dict]:
     sigs = similarity.lsh_signatures(
         emb, dim=len(qvec), n_planes=16, seed=42, keep_vec=True).persist()
     timed("ann_index_build", lambda: sigs.count())
-    timed("ann_topk", lambda: similarity.ann_topk(
-        emb, qvec, k=10, n_planes=16, n_bands=4, seed=42,
+    ann_rows = timed("ann_topk", lambda: similarity.ann_topk(
+        emb, qvec, k=10, n_planes=16, n_bands=8, seed=42,
         signatures=sigs).collect())
     sigs.unpersist()
+    # honest ANN evaluation: recall@10 of the bucketed path vs exact
+    # (the speed means nothing if the buckets miss the true neighbors)
+    exact_ids = {r["vec_id"] for r in
+                 similarity.cosine_topk(emb, qvec, k=10).collect()}
+    ann_recall = (len({r["vec_id"] for r in ann_rows} & exact_ids)
+                  / max(len(exact_ids), 1))
 
     # event-stream operators (sessionization at scale is window-bound:
     # the skew-safe two-phase variant is the one that must stay fast)
@@ -768,7 +774,7 @@ def query_bench(spark) -> tuple[dict, dict]:
 
     docs.unpersist()
     return timings, {"corpus_docs": n_docs_corpus, "wand_pruning": wand_stats,
-                     "skew": skew_stats}
+                     "skew": skew_stats, "ann_recall_at_10": ann_recall}
 
 
 def _materialized_index(docs):
