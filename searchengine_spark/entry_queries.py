@@ -900,6 +900,43 @@ SELECT id_a, id_b, round(cos, 5) AS cos FROM pairs
 WHERE cos >= {_COS_PAIR_THRESHOLD}"""
 
 
+def q_embedding_dup_components(spark, sf_dir):
+    """Embedding near-dup CLUSTERS: the LSH-candidates + cosine-verify
+    pair graph resolved to keep-one components (dedup.py
+    connected_components over similarity.cosine_pairs) — the decision
+    stage of embedding dedup."""
+    emb = _load(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_pairs(
+        emb, threshold=_COS_PAIR_THRESHOLD, n_planes=16, n_bands=4, seed=42
+    )
+    comp = dedup.connected_components(pairs)
+    return comp.select(
+        F.col("doc_id").cast("long").alias("vec_id"),
+        F.col("component").cast("long").alias("component"),
+        (F.col("doc_id") == F.col("component")).alias("keep"),
+    )
+
+
+def _embedding_dup_components_sql(sf_dir: str) -> str:
+    """Recursive-CTE components over the SAME pair derivation as
+    _embedding_dup_pairs_sql (WITH body reused verbatim; only the final
+    SELECT is replaced by edges + min-label reachability)."""
+    base = _embedding_dup_pairs_sql(sf_dir)
+    body, _ = base.rsplit("SELECT id_a, id_b,", 1)
+    return f"""{body.rstrip().replace("WITH planes", "WITH RECURSIVE planes", 1)},
+prs AS (SELECT id_a, id_b FROM pairs WHERE cos >= {_COS_PAIR_THRESHOLD}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+          UNION SELECT id_b, id_a FROM prs),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.label
+)
+SELECT node::BIGINT AS vec_id, min(label)::BIGINT AS component,
+       (node = min(label)) AS keep
+FROM reach GROUP BY node"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -1678,6 +1715,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
+        "embedding_dup_components": q_embedding_dup_components,
         # text analysis
         "lang_id": q_lang_id,
         "split_assign": q_split_assign,
@@ -1749,6 +1787,7 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "ann_topk": _ann_topk_sql(sf_dir),
         "ivf_topk": SQL_IVF_TOPK,
         "embedding_dup_pairs": _embedding_dup_pairs_sql(sf_dir),
+        "embedding_dup_components": _embedding_dup_components_sql(sf_dir),
         "lang_id": SQL_LANG_ID,
         "split_assign": SQL_SPLIT_ASSIGN,
         "turn_context": SQL_TURN_CONTEXT,
