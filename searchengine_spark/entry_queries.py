@@ -572,6 +572,27 @@ SELECT id_a, id_b, round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= {_JACCARD_THRESHOLD}"""
 
+def q_pack_bins(spark, sf_dir, budget: int = 4096):
+    """Token-budget packing (operators/packing.py): concatenate-then-cut
+    sequence assembly via the two-phase prefix-sum pattern (no global
+    sort); the oracle is the equivalent single-window cumsum."""
+    from searchengine_spark.operators.packing import pack_bins
+
+    out = pack_bins(_docs(spark, sf_dir), budget=budget, len_col="n_chars")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "start_offset", "bin_id", "offset_in_bin",
+    )
+
+
+SQL_PACK_BINS = """SELECT doc_id,
+(sum(n_chars) OVER w - n_chars)::BIGINT AS start_offset,
+((sum(n_chars) OVER w - n_chars) // 4096)::BIGINT AS bin_id,
+((sum(n_chars) OVER w - n_chars) % 4096)::BIGINT AS offset_in_bin
+FROM documents
+WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)"""
+
+
 def q_dedup_keep_first(spark, sf_dir):
     """Batch twin of the in-stream exact dedup
     (streaming/dedup_stream.py): earliest arrival per content hash wins
@@ -1705,6 +1726,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "split_contamination": q_split_contamination,
         "dedup_keep_first": q_dedup_keep_first,
+        "pack_bins": q_pack_bins,
         "minhash_signatures": q_minhash_signatures,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "lsh_candidate_pairs": q_lsh_candidates,
@@ -1778,6 +1800,7 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "dedup_components": SQL_DEDUP_COMPONENTS,
         "split_contamination": SQL_SPLIT_CONTAMINATION,
         "dedup_keep_first": SQL_DEDUP_KEEP_FIRST,
+        "pack_bins": SQL_PACK_BINS,
         "minhash_signatures": SQL_MINHASH_SIGNATURES,
         "minhash_dedup_pairs": SQL_MINHASH_DEDUP_PAIRS,
         "lsh_candidate_pairs": SQL_LSH_CANDIDATES,
