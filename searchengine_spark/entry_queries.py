@@ -1695,6 +1695,194 @@ FROM events GROUP BY 1"""
 
 
 # ---------------------------------------------------------------------------
+# substring-span dedup / temporal / hybrid retrieval / distribution profiling
+# ---------------------------------------------------------------------------
+
+_SPAN_LEN = 8
+
+
+def _span_cte() -> str:
+    """DuckDB CTEs: every length-_SPAN_LEN token window of every doc,
+    md5-fingerprinted (span semantics of operators/spans.py)."""
+    L = _SPAN_LEN
+    return f"""tokd AS (SELECT doc_id, {_TOKS_TEXT} AS t FROM documents),
+spans AS (
+  SELECT doc_id, md5(array_to_string(list_slice(t, i, i + {L - 1}), ' ')) AS span_md5
+  FROM tokd, unnest(range(1, greatest(len(t) - {L - 1}, 0) + 1)) AS u(i)
+)"""
+
+
+def q_span_dups(spark, sf_dir):
+    """ExactSubstr-style duplicated token spans (operators/spans.py):
+    in-row window fingerprinting + ONE hash agg — never pairwise."""
+    from searchengine_spark.operators.spans import duplicated_spans
+
+    return duplicated_spans(_docs(spark, sf_dir), span_len=_SPAN_LEN)
+
+
+SQL_SPAN_DUPS = f"""WITH {_span_cte()}
+SELECT span_md5, count(DISTINCT doc_id)::BIGINT AS n_docs,
+  count(*)::BIGINT AS n_occurrences
+FROM spans GROUP BY 1 HAVING count(DISTINCT doc_id) > 1"""
+
+
+def q_span_dup_flags(spark, sf_dir):
+    """Per-doc duplicated-span coverage — the substring-granular removal
+    signal (docs shorter than the span length carry no windows and are
+    absent, matching the SQL GROUP BY)."""
+    from searchengine_spark.operators.spans import span_dup_flags
+
+    return span_dup_flags(_docs(spark, sf_dir), span_len=_SPAN_LEN)
+
+
+SQL_SPAN_DUP_FLAGS = f"""WITH {_span_cte()},
+dups AS (SELECT span_md5 FROM spans GROUP BY 1
+         HAVING count(DISTINCT doc_id) > 1)
+SELECT s.doc_id, count(*)::BIGINT AS n_spans,
+  sum(CASE WHEN d.span_md5 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans
+FROM spans s LEFT JOIN dups d USING (span_md5) GROUP BY 1"""
+
+
+def q_asof_enrich(spark, sf_dir):
+    """As-of join (operators/temporal.py): each purchase event gets the
+    most recent prior-or-equal view event of the same user — union +
+    one running-window pass, no range-join pair explosion."""
+    from searchengine_spark.operators.temporal import asof_join
+
+    ev = _load(spark, sf_dir, "events")
+    out = asof_join(
+        ev.where(F.col("event_type") == "purchase"),
+        ev.where(F.col("event_type") == "view"),
+        key="user_id", ts="ts", tiebreak="event_id",
+        payload=["event_id", "value"],
+    )
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ref_event_id").cast("long").alias("ref_event_id"),
+        F.round("ref_value", 6).alias("ref_value"),
+    )
+
+
+SQL_ASOF_ENRICH = """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+v AS (SELECT * FROM events WHERE event_type = 'view')
+SELECT p.event_id, p.user_id, v.event_id AS ref_event_id,
+  round(v.value, 6) AS ref_value
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts"""
+
+
+def q_event_bigrams(spark, sf_dir):
+    """Adjacent event-type transition counts per user (sequence mining);
+    output bounded by |types|^2 regardless of row count."""
+    from searchengine_spark.operators.temporal import event_type_bigrams
+
+    return event_type_bigrams(_load(spark, sf_dir, "events"))
+
+
+SQL_EVENT_BIGRAMS = """WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         event_type
+  FROM events)
+SELECT prev_type, event_type, count(*)::BIGINT AS n_pairs
+FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2"""
+
+
+_RRF_DEPTH = 20
+
+
+def q_hybrid_rrf(spark, sf_dir, query: str = "spark join fast",
+                 k: int = 10, depth: int = _RRF_DEPTH):
+    """Hybrid retrieval: RRF fusion (operators/hybrid.py) of the lexical
+    BM25 top-`depth` (documents) and the dense cosine top-`depth`
+    (embeddings; vec_id ≡ doc_id). Both inputs are k-row; the fusion is
+    a union + one agg over O(2·depth) rows."""
+    from searchengine_spark.operators.hybrid import rrf_fuse, with_rank
+
+    lex = _bm25_topk(query, depth)(spark, sf_dir)
+    dense = similarity.cosine_topk(
+        _load(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir),
+        k=depth)
+    return rrf_fuse(
+        [with_rank(lex, "doc_id", "score"),
+         with_rank(dense, "vec_id", "cos")],
+        id_col="doc_id", k=k,
+    )
+
+
+def _hybrid_rrf_sql(query: str, k: int = 10, depth: int = _RRF_DEPTH) -> str:
+    cos_topk = f"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+c AS (
+  SELECT vec_id,
+    list_sum(list_transform(range(1, len(embedding) + 1),
+             i -> embedding[i]::DOUBLE * qe[i]::DOUBLE))
+    / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+       * sqrt(list_sum(list_transform(qe, x -> x::DOUBLE * x::DOUBLE)))) AS cos
+  FROM embeddings CROSS JOIN q
+)
+SELECT vec_id, round(cos, 6) AS cos FROM c
+ORDER BY cos DESC, vec_id ASC LIMIT {depth}"""
+    return f"""WITH lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+  FROM ({_bm25_topk_sql(query, depth)})
+),
+dense AS (
+  SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS r
+  FROM ({cos_topk})
+),
+u AS (SELECT * FROM lex UNION ALL SELECT * FROM dense)
+SELECT doc_id, round(sum(1.0 / (60 + r)), 6) AS rrf_score,
+  count(*)::BIGINT AS n_lists
+FROM u GROUP BY 1 ORDER BY rrf_score DESC, doc_id ASC LIMIT {k}"""
+
+
+_QUANTILE_PROBS = (0.1, 0.25, 0.5, 0.75, 0.9)
+
+
+def q_quality_quantiles(spark, sf_dir):
+    """Per-source EXACT quality-score percentiles (operators/profiling.py)
+    — the threshold-picking profile. Exact `percentile` is the validation
+    path; the mergeable GK sketch twin (`score_quantiles_approx`) is the
+    100 TB path, error-pinned in tests/test_profiling.py."""
+    from searchengine_spark.operators.profiling import score_quantiles
+
+    docs = _docs(spark, sf_dir)
+    scored = (
+        textstats.quality_score(docs).select("doc_id", "quality")
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    return score_quantiles(scored, "quality", "source",
+                           probs=_QUANTILE_PROBS)
+
+
+SQL_QUALITY_QUANTILES = f"""WITH tokd AS (
+  SELECT d.doc_id, {_TOKS_TEXT} AS t, coalesce(d.text, '') AS txt FROM documents d
+),
+m AS (
+  SELECT doc_id,
+    coalesce(len(t), 0)::BIGINT AS n_tokens,
+    CASE WHEN length(txt) > 0
+         THEN length(regexp_replace(txt, '[^A-Za-z]', '', 'g'))::DOUBLE / length(txt)
+         ELSE 0.0 END AS alpha_ratio,
+    CASE WHEN coalesce(len(t), 0) > 0
+         THEN len(list_filter(t, x -> list_contains({_STOPLIST}, x)))::DOUBLE / len(t)
+         ELSE 0.0 END AS stop_ratio
+  FROM tokd
+),
+base AS (
+  SELECT doc_id, round(least(n_tokens / 20.0, 1.0) * 0.4 + alpha_ratio * 0.4
+                       + least(stop_ratio * 5.0, 1.0) * 0.2, 6) AS quality
+  FROM m
+),
+qd AS (SELECT b.quality, d.source FROM base b JOIN documents d USING (doc_id)),
+agg AS (SELECT source,
+        quantile_cont(quality, [{', '.join(str(p) for p in _QUANTILE_PROBS)}]) AS qs
+        FROM qd GROUP BY 1)
+SELECT source, round(p.pct, 6) AS pct, round(qs[p.i], 5) AS value
+FROM agg CROSS JOIN (VALUES {', '.join(f'({i + 1}, {p})' for i, p in enumerate(_QUANTILE_PROBS))}) p(i, pct)"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1771,6 +1959,13 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionized_counts_bucketed": q_sessionized_counts_bucketed,
         "user_top_events": q_user_top_events,
         "event_props_stats": q_event_props_stats,
+        # substring dedup / temporal / hybrid / profiling
+        "span_dups": q_span_dups,
+        "span_dup_flags": q_span_dup_flags,
+        "asof_enrich": q_asof_enrich,
+        "event_bigrams": q_event_bigrams,
+        "hybrid_rrf_topk": q_hybrid_rrf,
+        "quality_quantiles": q_quality_quantiles,
     }
 
 
@@ -1841,4 +2036,10 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "sessionized_counts_bucketed": SQL_SESSIONIZED_COUNTS,
         "user_top_events": SQL_USER_TOP_EVENTS,
         "event_props_stats": SQL_EVENT_PROPS_STATS,
+        "span_dups": SQL_SPAN_DUPS,
+        "span_dup_flags": SQL_SPAN_DUP_FLAGS,
+        "asof_enrich": SQL_ASOF_ENRICH,
+        "event_bigrams": SQL_EVENT_BIGRAMS,
+        "hybrid_rrf_topk": _hybrid_rrf_sql("spark join fast", 10),
+        "quality_quantiles": SQL_QUALITY_QUANTILES,
     }

@@ -38,11 +38,17 @@ def with_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingles_expr(tokens_col: str = "tokens", k: int = SHINGLE_K) -> F.Column:
-    """Word k-gram shingles as array<string> (JVM-side, no UDF)."""
+    """Word k-gram shingles as array<string> (JVM-side, no UDF).
+
+    Docs shorter than ``k`` tokens yield an EMPTY array: the size guard is
+    load-bearing because Spark's ``sequence(1, 0)`` is the *descending*
+    [1, 0], which would drive ``element_at`` out of range."""
     t = tokens_col
     parts = ", ".join(f"element_at({t}, i + {j})" for j in range(k))
     return F.expr(
-        f"transform(sequence(1, greatest(size({t}) - {k - 1}, 0)), i -> concat_ws(' ', {parts}))"
+        f"CASE WHEN size({t}) >= {k} THEN "
+        f"transform(sequence(1, size({t}) - {k - 1}), i -> concat_ws(' ', {parts})) "
+        f"ELSE array() END"
     )
 
 

@@ -1,0 +1,101 @@
+"""Temporal operators over event streams: as-of join and sequence bigrams.
+
+Neither exists in the reference (its Engine is a point-query HTTP server);
+both are table-stakes for the analytics side of a transcript/event pipeline
+(e.g. attributing a purchase/tool-result to the latest preceding view/tool
+-call, mining action-transition frequencies).
+
+Scale notes:
+
+* ``asof_join`` deliberately avoids the naive range join (``l.ts >= r.ts``
+  theta-join explodes to |L|x|R| per key before pruning). Instead it unions
+  probe and reference rows and takes one ``last(..., ignorenulls)`` running
+  window per key — a single shuffle on the key, O(n log n) per partition,
+  no pair blow-up. This is the standard distributed as-of shape (same trick
+  Flink/KDB users apply on Spark). Hot keys: the window is per-key
+  sequential, so a mega-user dominates its task — the same two-phase
+  bucketing used by ``operators/events.sessionize_bucketed`` applies when a
+  key exceeds a partition budget.
+* ``event_type_bigrams`` is one ``lag`` window + one hash agg; the agg
+  output is bounded by |event_type|^2, independent of row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    probe: DataFrame,
+    reference: DataFrame,
+    key: str,
+    ts: str,
+    tiebreak: str,
+    payload: list[str],
+) -> DataFrame:
+    """For every probe row, attach the payload of the reference row with
+    the greatest ``(ts, tiebreak)`` such that ``reference.ts <= probe.ts``
+    (inclusive as-of, ties broken by ``tiebreak`` — deterministic even
+    with duplicate timestamps).
+
+    Probe rows keep ALL their columns; payload columns arrive as
+    ``ref_<name>`` (null when no reference row precedes).
+    """
+    pay_struct = F.struct(*[F.col(c) for c in payload])
+    r = reference.select(
+        F.col(key).alias("_k"),
+        F.col(ts).alias("_ts"),
+        F.col(tiebreak).alias("_tb"),
+        F.lit(0).alias("_side"),
+        pay_struct.alias("_pay"),
+        F.lit(None).cast("long").alias("_probe_rid"),
+    )
+    probe_rid = F.monotonically_increasing_id()
+    p0 = probe.withColumn("_probe_rid", probe_rid)
+    p = p0.select(
+        F.col(key).alias("_k"),
+        F.col(ts).alias("_ts"),
+        F.col(tiebreak).alias("_tb"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_pay"].dataType).alias("_pay"),
+        "_probe_rid",
+    )
+    # Reference rows sort BEFORE probe rows at equal ts (=> inclusive
+    # as-of); among equal-ts reference rows the running last() keeps the
+    # max tiebreak. One shuffle on the key, no row multiplication.
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.asc("_ts"), F.asc("_side"), F.asc("_tb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        r.unionByName(p)
+        .withColumn("_asof", F.last("_pay", ignorenulls=True).over(w))
+        .where(F.col("_side") == 1)
+        .select("_probe_rid", "_asof")
+    )
+    out = p0.join(matched, "_probe_rid", "left").drop("_probe_rid")
+    for c in payload:
+        out = out.withColumn(f"ref_{c}", F.col("_asof")[c])
+    return out.drop("_asof")
+
+
+def event_type_bigrams(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Adjacent-transition counts: per key, order events by (ts, tiebreak)
+    and count (previous type -> type) pairs over the whole table. Output
+    (prev_type, event_type, n_pairs) — bounded by |types|^2 rows."""
+    w = Window.partitionBy(key).orderBy(F.asc(ts), F.asc(tiebreak))
+    pairs = events.select(
+        F.lag(type_col).over(w).alias("prev_type"),
+        F.col(type_col).alias("event_type"),
+    ).where(F.col("prev_type").isNotNull())
+    return pairs.groupBy("prev_type", "event_type").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
