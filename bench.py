@@ -702,6 +702,12 @@ def query_bench(spark) -> tuple[dict, dict]:
         dedup.minhash_signatures_wide(raw_docs, n_perm=8),
         n_perm=8, n_bands=4).count())
     timed("simhash", lambda: dedup.simhash32(raw_docs).count())
+    # substring-granular (ExactSubstr-style) dedup: in-row window
+    # fingerprints -> one distinct-agg; the dense word-salad vocabulary
+    # again makes this a conservative timing
+    from searchengine_spark.operators.spans import duplicated_spans
+
+    timed("span_dedup", lambda: duplicated_spans(raw_docs).count())
     timed("quality_score", lambda: textstats.quality_score(raw_docs).count())
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
@@ -724,6 +730,15 @@ def query_bench(spark) -> tuple[dict, dict]:
                  similarity.cosine_topk(emb, qvec, k=10).collect()}
     ann_recall = (len({r["vec_id"] for r in ann_rows} & exact_ids)
                   / max(len(exact_ids), 1))
+    # hybrid retrieval: RRF fusion of the lexical and dense top-20 —
+    # dominated by its two retrievers; the fusion itself is O(k) rows
+    from searchengine_spark.operators.hybrid import rrf_fuse, with_rank
+
+    timed("hybrid_rrf", lambda: rrf_fuse(
+        [with_rank(score_topk(idx.tf_table, idx.term_stats, idx.scalars,
+                              single_q, k=20), "doc_id", "score"),
+         with_rank(similarity.cosine_topk(emb, qvec, k=20), "vec_id", "cos")],
+        id_col="doc_id", k=TOPK).collect())
 
     # event-stream operators (sessionization at scale is window-bound:
     # the skew-safe two-phase variant is the one that must stay fast)
@@ -738,6 +753,15 @@ def query_bench(spark) -> tuple[dict, dict]:
     timed("sessionize_bucketed", lambda: (
         sessionize_bucketed(events).groupBy("user_id", "session_seq")
         .count().count()))
+    # as-of join: union + running window (one key shuffle) — the shape
+    # that replaces the |L|x|R| range join at scale
+    from searchengine_spark.operators.temporal import asof_join
+
+    timed("asof_join", lambda: asof_join(
+        events.where(F.col("event_type") == "purchase"),
+        events.where(F.col("event_type") == "view"),
+        key="user_id", ts="ts", tiebreak="event_id",
+        payload=["event_id", "value"]).count())
     events.unpersist()
 
     # skew case: ONE user owns 90% of 4M events. Plain sessionize puts
