@@ -1882,6 +1882,59 @@ SELECT source, round(p.pct, 6) AS pct, round(qs[p.i], 5) AS value
 FROM agg CROSS JOIN (VALUES {', '.join(f'({i + 1}, {p})' for i, p in enumerate(_QUANTILE_PROBS))}) p(i, pct)"""
 
 
+def q_source_mix(spark, sf_dir):
+    """Mixture-weighted deterministic downsampling (operators/mixing.py):
+    target = 20% for the first source, the rest uniform; the binding
+    source keeps 100%, every other is hash-bucket downsampled so the KEPT
+    corpus matches the target weights. One tiny per-source count agg +
+    a stateless row filter."""
+    from searchengine_spark.operators.mixing import mix_sources
+
+    docs = _docs(spark, sf_dir)
+    sources = sorted(r["source"] for r in
+                     docs.select("source").distinct().collect())
+    heavy, n = sources[0], len(sources)
+    target = {s: (0.2 if s == heavy else 0.8 / (n - 1)) for s in sources}
+    out = mix_sources(docs, target, salt="mix-v1")
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "source")
+
+
+# Same arithmetic, same order of float ops (w*t/c), floor NOT round for the
+# bucket threshold (Spark's cast-to-long truncates; DuckDB CAST rounds).
+SQL_SOURCE_MIX = f"""WITH ns AS (SELECT count(DISTINCT source)::BIGINT AS n FROM documents),
+heavy AS (SELECT min(source) AS h FROM documents),
+cnt AS (SELECT source, count(*)::BIGINT AS c FROM documents GROUP BY 1),
+w AS (SELECT source, c,
+        CASE WHEN source = h THEN 0.2 ELSE 0.8 / (n - 1) END AS w
+      FROM cnt, ns, heavy),
+tt AS (SELECT min(c / w) AS t FROM w),
+fr AS (SELECT source, least(w * t / c, 1.0) AS f FROM w, tt)
+SELECT d.doc_id::BIGINT AS doc_id, d.source
+FROM documents d JOIN fr USING (source)
+WHERE {_DUCK_BUCKET.format(salt='mix-v1')} < floor(f * 10000)::BIGINT"""
+
+
+def q_source_term_cardinality(spark, sf_dir):
+    """Per-source EXACT distinct-term counts (operators/profiling.py) —
+    the vocabulary-size profile. Exact countDistinct is the validation
+    path; the HLL++ twin (approx=True, one mergeable agg, O(1/rsd²)
+    state) is the 100 TB path, error-pinned in pytest."""
+    from searchengine_spark.operators.profiling import group_cardinality
+
+    toks = (
+        dedup.with_tokens(_docs(spark, sf_dir))
+        .select("source", F.explode("tokens").alias("term"))
+    )
+    return group_cardinality(toks, "source", "term", approx=False)
+
+
+SQL_SOURCE_TERM_CARDINALITY = f"""WITH tokd AS (
+  SELECT source, {_TOKS_TEXT} AS t FROM documents),
+toks AS (SELECT source, unnest(t) AS term FROM tokd)
+SELECT source, count(DISTINCT term)::BIGINT AS n_distinct
+FROM toks GROUP BY 1"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1966,6 +2019,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_bigrams": q_event_bigrams,
         "hybrid_rrf_topk": q_hybrid_rrf,
         "quality_quantiles": q_quality_quantiles,
+        "source_mix": q_source_mix,
+        "source_term_cardinality": q_source_term_cardinality,
     }
 
 
@@ -2042,4 +2097,6 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "event_bigrams": SQL_EVENT_BIGRAMS,
         "hybrid_rrf_topk": _hybrid_rrf_sql("spark join fast", 10),
         "quality_quantiles": SQL_QUALITY_QUANTILES,
+        "source_mix": SQL_SOURCE_MIX,
+        "source_term_cardinality": SQL_SOURCE_TERM_CARDINALITY,
     }

@@ -57,6 +57,31 @@ def score_quantiles(
     return _explode_probs(agg, probs, group_col)
 
 
+def group_cardinality(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    approx: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Per-group distinct-value counts -> (group, n_distinct).
+
+    exact (default): ``count(DISTINCT ...)`` — Spark expands it to a
+    (group, value) pre-dedup shuffle plus a re-agg; exact but state grows
+    with the true cardinality. The validation path.
+
+    approx=True: HyperLogLog++ (``approx_count_distinct``) — ONE
+    map-side-combined aggregation, O(1/rsd²) state per group, mergeable —
+    the profile you actually run on 100 TB. tests/ pin its error vs exact.
+    """
+    agg = (
+        F.approx_count_distinct(value_col, rsd)
+        if approx
+        else F.countDistinct(value_col)
+    )
+    return df.groupBy(group_col).agg(agg.cast("long").alias("n_distinct"))
+
+
 def score_quantiles_approx(
     scored: DataFrame,
     score_col: str,
