@@ -136,6 +136,64 @@ def minhash_signatures_wide(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def minhash_signatures_inrow(
+    docs: DataFrame,
+    n_perm: int = 16,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    k: int = SHINGLE_K,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """ZERO-shuffle minhash: (id, mh_0..mh_{n_perm-1}) computed entirely
+    in-row (shingles -> h32 per shingle -> per-perm array_min), no explode
+    and no aggregation. Row-identical to ``minhash_signatures_wide``
+    (asserted in tests) — and, being stateless, it is the variant a
+    STREAMING pipeline can apply before its stateful LSH stage.
+    Docs with no shingles (< k tokens) are dropped, matching the wide
+    variant's explode semantics. ``keep_cols`` are passed through (e.g.
+    the event-time column a stream needs downstream)."""
+    a, b = minhash_params(n_perm, seed)
+    d = (
+        with_tokens(docs)
+        .withColumn("_sh", shingles_expr("tokens", k))
+        .where(F.size("_sh") > 0)
+        .withColumn("_h", F.transform(F.col("_sh"), lambda s: h32_col(s)))
+    )
+    mh = [
+        F.array_min(
+            F.transform(
+                F.col("_h"),
+                lambda x: (F.lit(a[i]) * x + F.lit(b[i])) % F.lit(MERSENNE_P),
+            )
+        ).alias(f"mh_{i}")
+        for i in range(n_perm)
+    ]
+    return d.select(id_col, *keep_cols, *mh)
+
+
+def band_keys_expr(n_perm: int, n_bands: int) -> F.Column:
+    """array<struct<band:int, band_key:string>> projected off a wide
+    (mh_0..mh_{n_perm-1}) row: md5 of the comma-joined minhashes of each
+    band, in perm order — the single definition both the batch bucket
+    join and the streaming stateful stage key on."""
+    rows_per_band = n_perm // n_bands
+    return F.array(*[
+        F.struct(
+            F.lit(bnd).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh_{bnd * rows_per_band + j}").cast("string")
+                        for j in range(rows_per_band)
+                    ],
+                )
+            ).alias("band_key"),
+        )
+        for bnd in range(n_bands)
+    ])
+
+
 def minhash_signatures(
     docs: DataFrame,
     n_perm: int = 16,
@@ -167,24 +225,8 @@ def lsh_candidate_pairs_wide(
     projected straight off the wide row (no second aggregation, no
     driver collect); bucket join on (band, band_key).
     """
-    rows_per_band = n_perm // n_bands
-    band_structs = [
-        F.struct(
-            F.lit(bnd).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"mh_{bnd * rows_per_band + j}").cast("string")
-                        for j in range(rows_per_band)
-                    ],
-                )
-            ).alias("band_key"),
-        )
-        for bnd in range(n_bands)
-    ]
     bands = wide.select(
-        id_col, F.explode(F.array(*band_structs)).alias("x")
+        id_col, F.explode(band_keys_expr(n_perm, n_bands)).alias("x")
     ).select(id_col, "x.band", "x.band_key")
     a = bands.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = bands.select(F.col(id_col).alias("id_b"), "band", "band_key")
