@@ -1914,6 +1914,18 @@ FROM documents d JOIN fr USING (source)
 WHERE {_DUCK_BUCKET.format(salt='mix-v1')} < floor(f * 10000)::BIGINT"""
 
 
+def q_pq_topk(spark, sf_dir):
+    """PQ-ADC ANN (similarity.py pq_topk): codebook-train + encode +
+    asymmetric-distance candidate scan (m JVM array lookups per row over
+    the m-byte codes — 32x smaller than the raw vectors) + exact re-rank
+    of the top-50. At this corpus/config the candidate margin covers the
+    quantization error, so the result is rank-identical to brute force —
+    the exact SQL oracle; recall honesty is pinned in pytest."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(emb, _query_vec(spark, sf_dir),
+                              k=10, n_candidates=50)
+
+
 def q_source_term_cardinality(spark, sf_dir):
     """Per-source EXACT distinct-term counts (operators/profiling.py) —
     the vocabulary-size profile. Exact countDistinct is the validation
@@ -2021,6 +2033,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_quantiles": q_quality_quantiles,
         "source_mix": q_source_mix,
         "source_term_cardinality": q_source_term_cardinality,
+        "pq_topk": q_pq_topk,
     }
 
 
@@ -2099,4 +2112,5 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "quality_quantiles": SQL_QUALITY_QUANTILES,
         "source_mix": SQL_SOURCE_MIX,
         "source_term_cardinality": SQL_SOURCE_TERM_CARDINALITY,
+        "pq_topk": SQL_COSINE_TOPK,
     }

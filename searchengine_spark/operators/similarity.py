@@ -300,3 +300,148 @@ def cosine_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — memory-bounded ANN re-rank path
+# ---------------------------------------------------------------------------
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    ksub: int = 32,
+    sample: int = 4096,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train PQ codebooks -> (m, ksub, dim/m) array (Jégou et al., TPAMI
+    2011): split each (unit-normalized) vector into m subvectors and
+    k-means each subspace independently.
+
+    At 100 TB the point of PQ is MEMORY: a vector becomes m uint8 codes
+    (m bytes) instead of dim floats — the candidate-generation structure
+    fits where raw vectors cannot. Training mirrors ``ivf_centroids``:
+    deterministic bounded sample (lowest ids), first-rows init, lowest-
+    index tie-break, empty clusters keep their previous centroid."""
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col).limit(sample).collect()
+    )
+    x = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        s = x[:, j * dsub:(j + 1) * dsub]
+        cent = s[:ksub].copy()
+        for _ in range(iters):
+            d2 = ((s[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)  # argmin ties -> lowest index
+            for c in range(ksub):
+                members = s[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (id, codes:array<int>): nearest sub-centroid per subspace. One
+    Arrow pass, one (n, dsub) x (dsub, ksub) matmul per subspace per
+    batch against the closure-broadcast codebooks — O(1) plan size in dim
+    (the lsh_signatures lesson)."""
+    m, ksub, dsub = codebooks.shape
+    cb = np.ascontiguousarray(codebooks)
+    half_norms = 0.5 * (cb ** 2).sum(axis=2)  # (m, ksub)
+    schema = T.StructType([
+        embeddings.schema[id_col],
+        T.StructField("codes", T.ArrayType(T.IntegerType(), False), False),
+    ])
+
+    def _encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(v), m), dtype=np.int32)
+            for j in range(m):
+                s = v[:, j * dsub:(j + 1) * dsub]
+                # argmin ||s - c||^2 == argmax (s.c - ||c||^2/2)
+                codes[:, j] = (s @ cb[j].T - half_norms[j]).argmax(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "codes": list(codes)})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(_encode, schema)
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_candidates: int = 50,
+    m: int = 8,
+    ksub: int = 32,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes: DataFrame | None = None,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """PQ-ADC candidate generation + exact cosine re-rank -> (id, cos).
+
+    The ADC (asymmetric distance computation) pass touches ONLY the codes
+    table: the query is folded into an (m, ksub) lookup table driver-side
+    and each row's approximate similarity is m JVM array lookups — the
+    literal table is m*ksub doubles (64 here), bounded and independent of
+    dim, not the per-dim literal bloat the round-1 ANN died of. The top
+    ``n_candidates`` by ADC are then re-ranked EXACTLY against their raw
+    vectors, so with a candidate margin that covers the quantization error
+    the output equals brute force — which is what the driver gate checks;
+    recall/compression honesty is pinned in pytest. Pass persisted
+    ``codes`` (+ ``codebooks``) to amortize the index across queries."""
+    if codebooks is None:
+        codebooks = pq_codebooks(embeddings, m, ksub, sample,
+                                 id_col=id_col, vec_col=vec_col)
+    m, ksub, dsub = codebooks.shape
+    idx = codes if codes is not None else pq_encode(
+        embeddings, codebooks, id_col, vec_col)
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    # table[j, c] = q_sub_j . codebook[j, c]  (unit vectors: ADC ~ cosine)
+    table = np.einsum("jd,jcd->jc", q.reshape(m, dsub), codebooks)
+    tbl = F.array(*[
+        F.array(*[F.lit(float(v)) for v in row]) for row in table
+    ])
+    adc = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(F.element_at(tbl, i),
+                       F.element_at(F.col("codes"), i) + 1),
+    )
+    cand = (
+        idx.select(id_col, adc.alias("adc"))
+        .orderBy(F.desc("adc"), F.asc(id_col))
+        .limit(n_candidates)
+        .select(id_col)
+    )
+    ev = embeddings.select(id_col, vec_col).join(F.broadcast(cand), id_col)
+    qlit = F.array(*[F.lit(float(v)) for v in query_vec])
+    ev = ev.withColumn("_q", qlit)
+    cos = _dot(vec_col, "_q") / (_norm(vec_col) * _norm("_q"))
+    return (
+        ev.select(F.col(id_col), F.round(cos, 6).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )

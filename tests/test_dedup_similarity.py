@@ -285,3 +285,57 @@ def test_connected_components_merging_clusters(spark):
            for r in connected_components(pairs).collect()}
     assert set(got.values()) == {5}
     assert set(got) == {5, 6, 7, 8, 100}
+
+
+def test_pq_encode_numpy_oracle_and_determinism(spark):
+    """Codes match the pure-numpy ADC assignment; training is
+    bit-deterministic across rebuilds (resume safety); codes are m small
+    ints (the 'vector fits in m bytes' memory contract)."""
+    df, m = _emb_df(spark, 60, 16)
+    books1 = similarity.pq_codebooks(df, m=4, ksub=8, sample=40)
+    books2 = similarity.pq_codebooks(df, m=4, ksub=8, sample=40)
+    assert np.array_equal(books1, books2)
+    got = {r["vec_id"]: list(r["codes"]) for r in
+           similarity.pq_encode(df, books1).collect()}
+    x = m.astype(np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    for i in range(60):
+        want = [int(((x[i, j * 4:(j + 1) * 4] - books1[j]) ** 2)
+                    .sum(axis=1).argmin()) for j in range(4)]
+        assert got[i] == want, i
+    assert all(0 <= c < 8 for codes in got.values() for c in codes)
+
+
+def test_pq_topk_planted_duplicate_and_exact_rerank(spark):
+    """An exact duplicate quantizes to the query's own codes (maximal
+    ADC), so it must surface; the re-rank stage is exact, so returned
+    cosines equal brute-force cosines for the same ids."""
+    df, m = _emb_df(spark, 60, 16, dupes=1)  # vec 59 == vec 0
+    q = [float(x) for x in m[0]]
+    got = similarity.pq_topk(df, q, k=5, n_candidates=20, m=4, ksub=8,
+                             sample=60).collect()
+    ids = {r["vec_id"] for r in got}
+    assert {0, 59} <= ids
+    brute = {r["vec_id"]: r["cos"]
+             for r in similarity.cosine_topk(df, q, k=60).collect()}
+    for r in got:
+        assert r["cos"] == brute[r["vec_id"]]
+
+
+def test_pq_topk_default_config_matches_brute_force_on_driver_corpus(spark):
+    """The driver-gate contract: at the sf0.01 embeddings (dim 64) the
+    default (m=8, ksub=32, 50 candidates) is rank-identical to exact
+    cosine top-10 — asserted here so a config drift fails fast in pytest,
+    not in the correctness gate."""
+    import os
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(path):
+        import pytest as _pytest
+        _pytest.skip("driver testdata not present")
+    emb = spark.read.parquet(path)
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    pq = [tuple(r) for r in similarity.pq_topk(emb, q, k=10).collect()]
+    brute = [tuple(r) for r in similarity.cosine_topk(emb, q, k=10).collect()]
+    assert pq == brute
