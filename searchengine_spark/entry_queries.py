@@ -1914,6 +1914,65 @@ FROM documents d JOIN fr USING (source)
 WHERE {_DUCK_BUCKET.format(salt='mix-v1')} < floor(f * 10000)::BIGINT"""
 
 
+def q_clean_corpus(spark, sf_dir):
+    """End-to-end cleaning recipe — the composition the individual
+    operators exist for: exact keep-first dedup -> quality >= 0.75 ->
+    lang 'en' -> drop docs with >50% duplicated-span coverage. Span
+    coverage is computed over the DEDUPED corpus (order matters: on the
+    raw corpus every surviving keep-first winner would be flagged by the
+    very duplicate that was just removed). Returns the kept doc_ids (the
+    strongest checkable artifact: per-doc membership, not counts). Every
+    stage drops rows at sf0.01, so no stage is vacuous. At production
+    scale the per-doc text signals are computed as columns of ONE
+    tokenizer pass and persisted; here each rides its own operator so
+    the gate exercises the real modules."""
+    from searchengine_spark.operators.spans import span_dup_flags
+
+    docs = _docs(spark, sf_dir)
+    keep_first = docs.groupBy(F.md5("text").alias("_m")).agg(
+        F.min("doc_id").alias("doc_id"))
+    deduped = docs.join(keep_first.select("doc_id"), "doc_id", "left_semi")
+    qual = textstats.quality_score(docs).select("doc_id", "quality")
+    lang = textstats.lang_id(docs).select("doc_id", "lang_pred")
+    sp = span_dup_flags(deduped).select(
+        "doc_id",
+        (F.col("n_dup_spans").cast("double") / F.col("n_spans"))
+        .alias("_dupfrac"))
+    return (
+        deduped.select("doc_id")
+        .join(qual, "doc_id").where(F.col("quality") >= 0.75)
+        .join(lang, "doc_id").where(F.col("lang_pred") == "en")
+        .join(sp, "doc_id", "left")
+        .where(F.coalesce("_dupfrac", F.lit(0.0)) <= 0.5)
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+
+
+def _clean_corpus_sql() -> str:
+    L = _SPAN_LEN
+    return f"""WITH kf AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+qual AS (SELECT doc_id, quality FROM ({SQL_QUALITY})),
+lang AS (SELECT doc_id, lang_pred FROM ({SQL_LANG_ID})),
+dd AS (SELECT d.doc_id, d.text FROM documents d JOIN kf USING (doc_id)),
+tokd2 AS (SELECT doc_id, {_TOKS_TEXT} AS t FROM dd),
+spans2 AS (
+  SELECT doc_id, md5(array_to_string(list_slice(t, i, i + {L - 1}), ' ')) AS span_md5
+  FROM tokd2, unnest(range(1, greatest(len(t) - {L - 1}, 0) + 1)) AS u(i)
+),
+dups2 AS (SELECT span_md5 FROM spans2 GROUP BY 1
+          HAVING count(DISTINCT doc_id) > 1),
+sp AS (
+  SELECT s.doc_id,
+    sum(CASE WHEN d.span_md5 IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+      / count(*) AS dupfrac
+  FROM spans2 s LEFT JOIN dups2 d USING (span_md5) GROUP BY 1)
+SELECT kf.doc_id::BIGINT AS doc_id
+FROM kf JOIN qual USING (doc_id) JOIN lang USING (doc_id)
+LEFT JOIN sp USING (doc_id)
+WHERE quality >= 0.75 AND lang_pred = 'en'
+  AND coalesce(dupfrac, 0.0) <= 0.5"""
+
+
 def q_pq_topk(spark, sf_dir):
     """PQ-ADC ANN (similarity.py pq_topk): codebook-train + encode +
     asymmetric-distance candidate scan (m JVM array lookups per row over
@@ -2034,6 +2093,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix": q_source_mix,
         "source_term_cardinality": q_source_term_cardinality,
         "pq_topk": q_pq_topk,
+        "clean_corpus": q_clean_corpus,
     }
 
 
@@ -2113,4 +2173,5 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "source_mix": SQL_SOURCE_MIX,
         "source_term_cardinality": SQL_SOURCE_TERM_CARDINALITY,
         "pq_topk": SQL_COSINE_TOPK,
+        "clean_corpus": _clean_corpus_sql(),
     }
