@@ -1914,6 +1914,52 @@ FROM documents d JOIN fr USING (source)
 WHERE {_DUCK_BUCKET.format(salt='mix-v1')} < floor(f * 10000)::BIGINT"""
 
 
+_PRF_R, _PRF_E, _PRF_BETA = 10, 3, 0.4
+
+
+def q_prf_topk(spark, sf_dir, query: str = "spark join fast", k: int = 10):
+    """Pseudo-relevance feedback (operators/prf.py): BM25 top-r docs ->
+    top-e expansion terms by tf·ln(N/df) -> re-score with expansion terms
+    at weight β. Two broadcast-query passes; the mining agg touches only
+    the top-r docs' postings."""
+    from searchengine_spark.operators.prf import prf_topk
+
+    _, _, tf_table, stats, scalars = _index_parts(spark, sf_dir)
+    return prf_topk(tf_table, stats, scalars, query, k=k,
+                    r=_PRF_R, e=_PRF_E, beta=_PRF_BETA)
+
+
+def _prf_topk_sql(query: str, k: int = 10, r: int = _PRF_R,
+                  e: int = _PRF_E, beta: float = _PRF_BETA) -> str:
+    return f"""WITH {BASE_CTES},
+{_query_cte(query)},
+partial0 AS (
+  SELECT tf.doc_id, {_BM25_W} AS w
+  FROM tf JOIN q USING (term) JOIN stats s USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN consts c
+),
+base AS (SELECT doc_id FROM (
+  SELECT doc_id, round(sum(w), 6) AS score FROM partial0 GROUP BY doc_id
+  ORDER BY score DESC, doc_id ASC LIMIT {r})),
+expw AS (
+  SELECT tf.term, round(sum(tf.tf * ln(c.n / s.df)), 6) AS w
+  FROM tf JOIN base USING (doc_id) JOIN stats s USING (term)
+  CROSS JOIN consts c
+  WHERE tf.term NOT IN (SELECT term FROM q)
+  GROUP BY tf.term),
+exp AS (SELECT term, {beta}::DOUBLE AS qf FROM expw
+        ORDER BY w DESC, term ASC LIMIT {e}),
+q2 AS (SELECT term, qf::DOUBLE AS qf FROM q
+       UNION ALL SELECT term, qf FROM exp),
+partial AS (
+  SELECT tf.doc_id, {_BM25_W} AS w
+  FROM tf JOIN q2 q USING (term) JOIN stats s USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN consts c
+)
+SELECT doc_id, round(sum(w), 6) AS score FROM partial GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
 def q_clean_corpus(spark, sf_dir):
     """End-to-end cleaning recipe — the composition the individual
     operators exist for: exact keep-first dedup -> quality >= 0.75 ->
@@ -2094,6 +2140,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_term_cardinality": q_source_term_cardinality,
         "pq_topk": q_pq_topk,
         "clean_corpus": q_clean_corpus,
+        "prf_topk": q_prf_topk,
     }
 
 
@@ -2174,4 +2221,5 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "source_term_cardinality": SQL_SOURCE_TERM_CARDINALITY,
         "pq_topk": SQL_COSINE_TOPK,
         "clean_corpus": _clean_corpus_sql(),
+        "prf_topk": _prf_topk_sql("spark join fast", 10),
     }
