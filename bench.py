@@ -681,6 +681,11 @@ def query_bench(spark) -> tuple[dict, dict]:
     queries_df = spark.createDataFrame(qrows, "query_id int, query string")
     timed(f"batch_topk_{N_BATCH_QUERIES}q", lambda: batch_topk(
         queries_df, idx.tf_table, idx.term_stats, idx.scalars, k=TOPK).collect())
+    # PRF expansion: two broadcast-query passes + a top-r-postings agg
+    from searchengine_spark.operators.prf import prf_topk as _prf_topk
+
+    timed("prf_topk", lambda: _prf_topk(
+        idx.tf_table, idx.term_stats, idx.scalars, single_q, k=TOPK).collect())
 
     raw_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     timed("dedup_exact", lambda: dedup.dedup_exact(raw_docs).count())
@@ -739,6 +744,14 @@ def query_bench(spark) -> tuple[dict, dict]:
                               single_q, k=20), "doc_id", "score"),
          with_rank(similarity.cosine_topk(emb, qvec, k=20), "vec_id", "cos")],
         id_col="doc_id", k=TOPK).collect())
+    # PQ: codebooks + m-byte codes built once (amortized like the other
+    # ANN indexes); the ADC query scans only the codes table
+    pq_books = similarity.pq_codebooks(emb)
+    pq_codes = similarity.pq_encode(emb, pq_books).persist()
+    timed("pq_index_build", lambda: pq_codes.count())
+    timed("pq_topk", lambda: similarity.pq_topk(
+        emb, qvec, k=10, codes=pq_codes, codebooks=pq_books).collect())
+    pq_codes.unpersist()
 
     # event-stream operators (sessionization at scale is window-bound:
     # the skew-safe two-phase variant is the one that must stay fast)

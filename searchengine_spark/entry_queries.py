@@ -2022,13 +2022,13 @@ WHERE quality >= 0.75 AND lang_pred = 'en'
 def q_pq_topk(spark, sf_dir):
     """PQ-ADC ANN (similarity.py pq_topk): codebook-train + encode +
     asymmetric-distance candidate scan (m JVM array lookups per row over
-    the m-byte codes — 32x smaller than the raw vectors) + exact re-rank
-    of the top-50. At this corpus/config the candidate margin covers the
+    the m-byte codes — 16x smaller than the raw vectors) + exact re-rank
+    of the top-100 (verified rank-identical to brute force at sf0.001,
+    0.01, AND 0.1). At this corpus/config the candidate margin covers the
     quantization error, so the result is rank-identical to brute force —
     the exact SQL oracle; recall honesty is pinned in pytest."""
     emb = _load(spark, sf_dir, "embeddings")
-    return similarity.pq_topk(emb, _query_vec(spark, sf_dir),
-                              k=10, n_candidates=50)
+    return similarity.pq_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
 def q_source_term_cardinality(spark, sf_dir):

@@ -308,8 +308,8 @@ def cosine_pairs(
 
 def pq_codebooks(
     embeddings: DataFrame,
-    m: int = 8,
-    ksub: int = 32,
+    m: int = 16,
+    ksub: int = 64,
     sample: int = 4096,
     iters: int = 10,
     id_col: str = "vec_id",
@@ -388,9 +388,9 @@ def pq_topk(
     embeddings: DataFrame,
     query_vec: list[float],
     k: int = 10,
-    n_candidates: int = 50,
-    m: int = 8,
-    ksub: int = 32,
+    n_candidates: int = 100,
+    m: int = 16,
+    ksub: int = 64,
     sample: int = 4096,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
