@@ -193,6 +193,21 @@ class SearchEngine:
                         set(self.tombstones()))
         return boolean_topk(tf, self.term_stats, self.scalars, query, k=k)
 
+    def search_prf(self, query: str, k: int = 10, r: int = 10,
+                   e: int = 3, beta: float = 0.4) -> DataFrame:
+        """PRF-expanded BM25 (operators/prf.py): mine the top-r results
+        for e expansion terms, re-score with them at weight beta —
+        recall past the literal query terms at ~2x query cost.
+        Tombstones masked (a deleted doc neither ranks nor contributes
+        expansion terms)."""
+        from searchengine_spark.operators.deletes import exclude_tf
+        from searchengine_spark.operators.prf import prf_topk
+
+        tf = exclude_tf(tf_from_doc_map(self.doc_map),
+                        set(self.tombstones()))
+        return prf_topk(tf, self.term_stats, self.scalars, query,
+                        k=k, r=r, e=e, beta=beta)
+
     def search_phrase(self, phrase: str, k: int = 10) -> DataFrame:
         """Exact-phrase top-k: consecutive admitted tokens, BM25 on
         phrase tf, tombstones masked (operators/positional.py). Uses the

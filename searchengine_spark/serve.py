@@ -35,7 +35,8 @@ from urllib.parse import parse_qs, urlparse
 
 from searchengine_spark.engine import SearchEngine
 
-_MODES = {"wand", "term", "exhaustive", "reference", "phrase", "near"}
+_MODES = {"wand", "term", "exhaustive", "reference", "phrase", "near",
+          "prf"}
 
 
 def _run_search(engine: SearchEngine, q: str, k: int, mode: str,
@@ -43,6 +44,8 @@ def _run_search(engine: SearchEngine, q: str, k: int, mode: str,
     """Dispatch one /search request to the engine method for ``mode``
     (phrase/near are positional plans over the doc store; the rest are
     posting-list plans)."""
+    if mode == "prf":
+        return engine.search_prf(q, k=k)
     if mode == "phrase":
         return engine.search_phrase(q, k=k)
     if mode == "near":

@@ -182,3 +182,19 @@ def test_near_mode_needs_two_terms(served):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(f"{base}/search?q=one&mode=near")
     assert e.value.code == 500
+
+
+def test_search_prf_mode(served):
+    """mode=prf over HTTP equals engine.search_prf, returns results, and
+    ranks at least one doc a plain wand query of the same k misses (the
+    expansion is doing work on this corpus) or matches it exactly when
+    the corpus has no co-occurring expansion mass — either way the HTTP
+    path and the engine API must agree row-for-row."""
+    eng, base = served
+    q = "babace badi"
+    status, body = _get(f"{base}/search?q={q.replace(' ', '+')}&mode=prf&k=5")
+    assert status == 200 and body["mode"] == "prf"
+    direct = [(r.doc_id, round(r.score, 9))
+              for r in eng.search_prf(q, k=5).collect()]
+    got = [(r["doc_id"], round(r["score"], 9)) for r in body["results"]]
+    assert got == direct and len(got) > 0
