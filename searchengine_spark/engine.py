@@ -104,13 +104,21 @@ class SearchEngine:
         return frozenset(dead)
 
     def purge_deleted(self, n_shards: int) -> int:
-        """Physically rewrite ONLY the shards containing tombstoned docs
-        (operators/deletes.py purge_doc_segments; untouched shards pass
-        through), filter the doc store, clear the tombstone file.
-        Build-time stats stay pinned (Lucene semantics: deletes change
-        which docs match, never how survivors score, until a rebuild).
-        Returns the number of docs purged."""
-        from searchengine_spark.operators.deletes import purge_doc_segments
+        """Physically remove tombstoned docs from EVERY persisted layout
+        — doc segments (only affected shards rewritten,
+        operators/deletes.py purge_doc_segments), term segments (decode/
+        filter/re-encode compaction, purge_term_segments), positional
+        postings and the doc store (row filters) — then clear the
+        tombstone file. Clearing it is only safe once every layout is
+        clean: a layout left stale would serve the deleted docs again
+        the moment the mask disappears. Build-time stats stay pinned
+        (Lucene semantics: deletes change which docs match, never how
+        survivors score, until a rebuild). Returns the number of docs
+        purged."""
+        from searchengine_spark.operators.deletes import (
+            purge_doc_segments,
+            purge_term_segments,
+        )
 
         dead = self.tombstones()
         if not dead:
@@ -128,23 +136,36 @@ class SearchEngine:
             os.rename(new_dir, live_dir)
             shutil.rmtree(old, ignore_errors=True)
 
-        seg_dir = os.path.join(self.index_dir, "doc_segments.parquet")
-        new_dir = seg_dir + ".purge"
-        purged = purge_doc_segments(
-            self.doc_segments, set(dead), self.scalars.n_docs,
-            self.scalars.avgdl, n_shards=n_shards,
-        )
-        purged.write.mode("overwrite").parquet(new_dir)
-        _swap(seg_dir, new_dir)
+        def _rewrite(live_dir: str, df) -> None:
+            new_dir = live_dir + ".purge"
+            df.write.mode("overwrite").parquet(new_dir)
+            _swap(live_dir, new_dir)
+
+        dead_ids = [int(d) for d in dead]
+        if self.doc_segments is not None:
+            seg_dir = os.path.join(self.index_dir, "doc_segments.parquet")
+            _rewrite(seg_dir, purge_doc_segments(
+                self.doc_segments, set(dead), self.scalars.n_docs,
+                self.scalars.avgdl, n_shards=n_shards,
+            ))
+            self.doc_segments = self.spark.read.parquet(seg_dir)
+        if self.term_segments is not None:
+            tseg_dir = os.path.join(self.index_dir, "term_segments.parquet")
+            _rewrite(tseg_dir, purge_term_segments(
+                self.term_segments, set(dead), self.term_stats,
+                self.scalars.n_docs, self.scalars.avgdl,
+            ))
+            self.term_segments = self.spark.read.parquet(tseg_dir)
+        if self.pos_postings is not None:
+            pos_dir = os.path.join(self.index_dir, "pos_postings.parquet")
+            _rewrite(pos_dir, self.pos_postings.filter(
+                ~F.col("doc_id").isin(dead_ids)))
+            self.pos_postings = self.spark.read.parquet(pos_dir)
         map_dir = os.path.join(self.index_dir, "doc_map.parquet")
-        new_map = map_dir + ".purge"
-        self.doc_map.filter(
-            ~F.col("doc_id").isin([int(d) for d in dead])
-        ).write.mode("overwrite").parquet(new_map)
-        _swap(map_dir, new_map)
-        os.remove(self._tombstone_path())
-        self.doc_segments = self.spark.read.parquet(seg_dir)
+        _rewrite(map_dir, self.doc_map.filter(
+            ~F.col("doc_id").isin(dead_ids)))
         self.doc_map = self.spark.read.parquet(map_dir)
+        os.remove(self._tombstone_path())
         return len(dead)
 
     # -- query ----------------------------------------------------------

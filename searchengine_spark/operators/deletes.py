@@ -37,7 +37,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from searchengine_spark.operators.segments import (
+    DEFAULT_DF_TARGET,
     build_doc_segments,
+    build_term_segments,
     segments_to_tf,
 )
 
@@ -78,6 +80,34 @@ def purge_doc_segments(
         n_shards=n_shards,
     )
     return untouched.unionByName(rebuilt)
+
+
+def purge_term_segments(
+    segments: DataFrame,
+    tombstones: set[int],
+    term_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    df_target: int = DEFAULT_DF_TARGET,
+) -> DataFrame:
+    """Physical purge of the TERM-partitioned layout.
+
+    Unlike the doc layout there is no doc-locality to exploit: a doc's
+    postings are scattered across every term it contains, so the purge is
+    a decode -> filter -> re-encode compaction of the layout (exactly
+    what the incremental path's ``compact`` does with its tombstones).
+    Stats stay pinned; block maxes are recomputed on survivors (strictly
+    tighter, still admissible). Re-encoding may re-salt with the given
+    ``df_target`` — queries fetch all (term, salt) rows, so the salt
+    layout is not part of the contract."""
+    if not tombstones:
+        return segments
+    survivors = segments_to_tf(segments).filter(
+        ~F.col("doc_id").isin([int(d) for d in tombstones])
+    )
+    return build_term_segments(
+        survivors, term_stats, n_docs, avgdl, df_target=df_target
+    )
 
 
 def exclude_tf(tf_table: DataFrame, tombstones: set[int]) -> DataFrame:

@@ -183,3 +183,40 @@ def test_phrase_and_near_respect_tombstones(eng):
                   for r in eng.search_near(toks[0], toks[1], window=3,
                                            k=50).collect()}
     assert victim not in near_after
+
+
+def test_purge_covers_every_layout(spark, small, tmp_path_factory):
+    """Regression: purge_deleted used to rewrite ONLY the doc layout and
+    then clear the tombstone file — a term or positional layout would
+    serve the deleted docs again the moment the mask disappeared. Purge
+    must leave EVERY persisted layout clean before dropping the mask."""
+    out = str(tmp_path_factory.mktemp("delidx_multi"))
+    run_build(spark, small, out, num_doc_partitions=3,
+              layouts=("doc", "term", "pos"), n_shards=N_SHARDS)
+    eng = SearchEngine.load(spark, out)
+    assert eng.term_segments is not None and eng.pos_postings is not None
+
+    dead = _victims(eng)
+    eng.delete_docs(dead)
+    masked_term = _ranked(eng.search(QUERY, k=10, mode="term"))
+    row = eng.doc_map.filter(~F.col("doc_id").isin(dead)) \
+        .select("text").first()
+    toks = [t.lower() for t in row["text"].split() if t.isalpha()]
+    phrase = f"{toks[0]} {toks[1]}"
+    masked_phrase = _ranked(eng.search_phrase(phrase, k=10))
+
+    n = eng.purge_deleted(n_shards=N_SHARDS)
+    assert n == len(dead) and eng.tombstones() == frozenset()
+
+    # physically gone from every layout
+    assert segments_to_tf(eng.doc_segments) \
+        .filter(F.col("doc_id").isin(dead)).count() == 0
+    assert segments_to_tf(eng.term_segments) \
+        .filter(F.col("doc_id").isin(dead)).count() == 0
+    assert eng.pos_postings.filter(F.col("doc_id").isin(dead)).count() == 0
+    assert eng.doc_map.filter(F.col("doc_id").isin(dead)).count() == 0
+
+    # the pinned identity, per layout: purged == tombstone-masked
+    assert _ranked(eng.search(QUERY, k=10, mode="term")) == masked_term
+    assert _ranked(eng.search_phrase(phrase, k=10)) == masked_phrase
+    assert not set(dead) & {d for d, _ in masked_term}
