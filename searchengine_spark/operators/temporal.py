@@ -41,25 +41,33 @@ def asof_join(
 
     Probe rows keep ALL their columns; payload columns arrive as
     ``ref_<name>`` (null when no reference row precedes).
+
+    The probe row rides the union INSIDE a struct column (null on
+    reference rows) — no row id, no rejoin. (A first cut tagged probe
+    rows with ``monotonically_increasing_id`` and joined the window
+    output back: that id is only stable per physical partitioning, so
+    two subplans recomputing it — or a task retry — can disagree. The
+    struct carry is deterministic by construction and one join cheaper.)
     """
     pay_struct = F.struct(*[F.col(c) for c in payload])
+    probe_struct = F.struct(*[F.col(c) for c in probe.columns])
     r = reference.select(
         F.col(key).alias("_k"),
         F.col(ts).alias("_ts"),
         F.col(tiebreak).alias("_tb"),
         F.lit(0).alias("_side"),
         pay_struct.alias("_pay"),
-        F.lit(None).cast("long").alias("_probe_rid"),
+        F.lit(None).cast(
+            probe.select(probe_struct.alias("_row")).schema["_row"].dataType
+        ).alias("_row"),
     )
-    probe_rid = F.monotonically_increasing_id()
-    p0 = probe.withColumn("_probe_rid", probe_rid)
-    p = p0.select(
+    p = probe.select(
         F.col(key).alias("_k"),
         F.col(ts).alias("_ts"),
         F.col(tiebreak).alias("_tb"),
         F.lit(1).alias("_side"),
         F.lit(None).cast(r.schema["_pay"].dataType).alias("_pay"),
-        "_probe_rid",
+        probe_struct.alias("_row"),
     )
     # Reference rows sort BEFORE probe rows at equal ts (=> inclusive
     # as-of); among equal-ts reference rows the running last() keeps the
@@ -69,16 +77,16 @@ def asof_join(
         .orderBy(F.asc("_ts"), F.asc("_side"), F.asc("_tb"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = (
+    out = (
         r.unionByName(p)
         .withColumn("_asof", F.last("_pay", ignorenulls=True).over(w))
         .where(F.col("_side") == 1)
-        .select("_probe_rid", "_asof")
+        .select(
+            *[F.col("_row")[c].alias(c) for c in probe.columns],
+            *[F.col("_asof")[c].alias(f"ref_{c}") for c in payload],
+        )
     )
-    out = p0.join(matched, "_probe_rid", "left").drop("_probe_rid")
-    for c in payload:
-        out = out.withColumn(f"ref_{c}", F.col("_asof")[c])
-    return out.drop("_asof")
+    return out
 
 
 def event_type_bigrams(
