@@ -1008,6 +1008,37 @@ md5(string_agg(text, chr(10) ORDER BY doc_id)) AS conv_md5
 FROM documents GROUP BY 1"""
 
 
+def q_role_spans(spark, sf_dir):
+    """Per-turn character offsets into the assembled conversation text
+    (operators/context.py role_spans) — the SFT loss-mask artifact
+    (train on assistant spans, mask the rest). Role is derived
+    deterministically (turn_idx parity) since the proxy table has none;
+    conv_text[start:end] == turn text is pinned in pytest."""
+    from searchengine_spark.operators.context import role_spans
+
+    t = _as_transcripts(spark, sf_dir).withColumn(
+        "role",
+        F.when(F.col("turn_idx") % 2 == 0, "user").otherwise("assistant"),
+    )
+    out = role_spans(t)
+    return out.select(
+        "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+        "role", "start", F.col("end").alias("end_c"),
+    )
+
+
+SQL_ROLE_SPANS = """SELECT source AS conv_id, doc_id::BIGINT AS turn_idx,
+  CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+  coalesce(sum(length(text) + 1) OVER (
+    PARTITION BY source ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start,
+  (coalesce(sum(length(text) + 1) OVER (
+    PARTITION BY source ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+   + length(text))::BIGINT AS end_c
+FROM documents"""
+
+
 def q_split_assign(spark, sf_dir):
     """Deterministic train/val/test split (operators/sampling.py):
     membership = pure function of md5(doc_id || salt) — stable across
@@ -2101,6 +2132,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "turn_context": q_turn_context,
         "conversation_text": q_conversation_text,
+        "role_spans": q_role_spans,
         "stratified_sample": q_stratified_sample,
         "bigram_pmi": q_bigram_pmi,
         "doc_logprob": q_doc_logprob,
@@ -2185,6 +2217,7 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "split_assign": SQL_SPLIT_ASSIGN,
         "turn_context": SQL_TURN_CONTEXT,
         "conversation_text": SQL_CONVERSATION_TEXT,
+        "role_spans": SQL_ROLE_SPANS,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "bigram_pmi": SQL_BIGRAM_PMI,
         "doc_logprob": SQL_DOC_LOGPROB,

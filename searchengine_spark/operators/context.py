@@ -75,3 +75,35 @@ def conversation_text(
             ).alias("conv_text"),
         )
     )
+
+
+def role_spans(
+    transcripts: DataFrame,
+    text_col: str = "text",
+    role_col: str = "role",
+) -> DataFrame:
+    """-> (conv_id, turn_idx, role, start, end): each turn's character
+    offsets inside ``conversation_text``'s assembly (same TURN_SEP) —
+    the loss-mask artifact an SFT pipeline needs (train on assistant
+    spans, mask the rest). The invariant (asserted in tests):
+    ``conv_text[start:end] == turn text``.
+
+    One running-sum window over the conv partition (same single shuffle
+    as context_windows); empty/null turns own a zero-length span so the
+    mask stays aligned with the separators conversation_text emits."""
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tlen = F.length(F.coalesce(F.col(text_col), F.lit("")))
+    start = F.coalesce(
+        F.sum(tlen + len(TURN_SEP)).over(w), F.lit(0)
+    ).cast("long")
+    return transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.col(role_col).alias("role"),
+        start.alias("start"),
+        (start + tlen).cast("long").alias("end"),
+    )
