@@ -229,6 +229,20 @@ class SearchEngine:
         return prf_topk(tf, self.term_stats, self.scalars, query,
                         k=k, r=r, e=e, beta=beta)
 
+    def more_like_this(self, doc_id: int, k: int = 10,
+                       e: int = 5) -> DataFrame:
+        """Related docs for a seed doc (operators/mlt.py): its e most
+        characteristic terms run as a BM25 query, seed excluded.
+        Tombstones masked — a deleted seed has no postings left, so it
+        yields no related docs (by design)."""
+        from searchengine_spark.operators.deletes import exclude_tf
+        from searchengine_spark.operators.mlt import more_like_this
+
+        tf = exclude_tf(tf_from_doc_map(self.doc_map),
+                        set(self.tombstones()))
+        return more_like_this(tf, self.term_stats, self.scalars,
+                              doc_id, k=k, e=e)
+
     def search_phrase(self, phrase: str, k: int = 10) -> DataFrame:
         """Exact-phrase top-k: consecutive admitted tokens, BM25 on
         phrase tf, tombstones masked (operators/positional.py). Uses the

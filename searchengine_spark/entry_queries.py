@@ -1945,6 +1945,38 @@ FROM documents d JOIN fr USING (source)
 WHERE {_DUCK_BUCKET.format(salt='mix-v1')} < floor(f * 10000)::BIGINT"""
 
 
+_MLT_DOC, _MLT_E = 7, 5
+
+
+def q_more_like_this(spark, sf_dir, doc_id: int = _MLT_DOC, k: int = 10):
+    """Related-document retrieval (operators/mlt.py): the seed doc's e
+    most characteristic terms (tf·ln(N/df)) run as a BM25 query with the
+    seed excluded — the Lucene MoreLikeThis analog."""
+    from searchengine_spark.operators.mlt import more_like_this
+
+    _, _, tf_table, stats, scalars = _index_parts(spark, sf_dir)
+    return more_like_this(tf_table, stats, scalars, doc_id, k=k, e=_MLT_E)
+
+
+def _more_like_this_sql(doc_id: int = _MLT_DOC, k: int = 10,
+                        e: int = _MLT_E) -> str:
+    return f"""WITH {BASE_CTES},
+seed AS (
+  SELECT tf.term, round(tf.tf * ln(c.n / s.df), 6) AS w
+  FROM tf JOIN stats s USING (term) CROSS JOIN consts c
+  WHERE tf.doc_id = {doc_id}),
+q AS (SELECT term, 1.0::DOUBLE AS qf FROM seed
+      ORDER BY w DESC, term ASC LIMIT {e}),
+partial AS (
+  SELECT tf.doc_id, {_BM25_W} AS w
+  FROM tf JOIN q USING (term) JOIN stats s USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN consts c
+  WHERE tf.doc_id <> {doc_id}
+)
+SELECT doc_id, round(sum(w), 6) AS score FROM partial GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
 _PRF_R, _PRF_E, _PRF_BETA = 10, 3, 0.4
 
 
@@ -2173,6 +2205,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "clean_corpus": q_clean_corpus,
         "prf_topk": q_prf_topk,
+        "more_like_this": q_more_like_this,
     }
 
 
@@ -2255,4 +2288,5 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "pq_topk": SQL_COSINE_TOPK,
         "clean_corpus": _clean_corpus_sql(),
         "prf_topk": _prf_topk_sql("spark join fast", 10),
+        "more_like_this": _more_like_this_sql(),
     }

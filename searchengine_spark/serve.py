@@ -118,6 +118,19 @@ def make_handler(engine: SearchEngine, lock: threading.Lock):
                             for r in rows
                         ],
                     })
+                elif url.path == "/mlt":
+                    doc_id = int((qs.get("id") or ["-1"])[0])
+                    k = int((qs.get("k") or ["10"])[0])
+                    t0 = time.perf_counter()
+                    with lock:
+                        rows = engine.more_like_this(doc_id, k=k).collect()
+                    self._reply(200, {
+                        "seed": doc_id, "k": k,
+                        "took_ms": round((time.perf_counter() - t0) * 1e3, 1),
+                        "results": [{"doc_id": int(r["doc_id"]),
+                                     "score": float(r["score"])}
+                                    for r in rows],
+                    })
                 elif url.path == "/doc":
                     doc_id = int((qs.get("id") or ["-1"])[0])
                     with lock:

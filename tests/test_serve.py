@@ -198,3 +198,17 @@ def test_search_prf_mode(served):
               for r in eng.search_prf(q, k=5).collect()]
     got = [(r["doc_id"], round(r["score"], 9)) for r in body["results"]]
     assert got == direct and len(got) > 0
+
+
+def test_mlt_endpoint(served):
+    """/mlt?id= returns the engine's more_like_this rows; the seed never
+    appears in its own related list."""
+    eng, base = served
+    seed = int(eng.doc_map.select("doc_id").first()["doc_id"])
+    status, body = _get(f"{base}/mlt?id={seed}&k=5")
+    assert status == 200 and body["seed"] == seed
+    direct = [(r.doc_id, round(r.score, 9))
+              for r in eng.more_like_this(seed, k=5).collect()]
+    got = [(r["doc_id"], round(r["score"], 9)) for r in body["results"]]
+    assert got == direct and len(got) > 0
+    assert seed not in {d for d, _ in got}
