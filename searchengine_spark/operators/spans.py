@@ -80,17 +80,14 @@ def span_dup_flags(docs: DataFrame, span_len: int = SPAN_LEN) -> DataFrame:
     magnitude smaller than the span stream, so Catalyst broadcasts it when
     it fits, shuffle-hash otherwise)."""
     spans = doc_spans(docs, span_len=span_len)
-    dups = duplicated_spans(docs, span_len=span_len).select("span_md5")
-    per_doc_dup = (
-        spans.join(dups, "span_md5", "left_semi")
+    dups = duplicated_spans(docs, span_len=span_len).select(
+        "span_md5", F.lit(1).alias("_dup"))
+    return (
+        spans.join(dups, "span_md5", "left")
         .groupBy("doc_id")
-        .agg(F.count("*").cast("long").alias("n_dup_spans"))
-    )
-    per_doc = spans.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_spans")
-    )
-    return per_doc.join(per_doc_dup, "doc_id", "left").select(
-        "doc_id",
-        "n_spans",
-        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(F.coalesce("_dup", F.lit(0))).cast("long")
+            .alias("n_dup_spans"),
+        )
     )
