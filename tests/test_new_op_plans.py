@@ -127,3 +127,58 @@ def test_pos_layout_build_and_engine(spark, tmp_path_factory):
               layouts=("doc", "pos"))
     assert os.path.getmtime(
         os.path.join(out, "pos_postings.parquet")) == mtime
+
+
+# ---------------------------------------------------------------------------
+# second-session additions
+# ---------------------------------------------------------------------------
+
+def test_mix_sources_plan_is_a_pure_filter(spark):
+    """After the (bounded) count collect, the returned frame must be a
+    stateless row filter — no Exchange, no join in its plan."""
+    from searchengine_spark.operators.mixing import mix_sources
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(100)],
+        "doc_id long, source string")
+    out = mix_sources(docs, {"a": 0.5, "b": 0.5})
+    tree = _tree(_plan(out))
+    assert "Exchange" not in tree, tree
+    assert "Join" not in tree, tree
+
+
+def test_role_spans_single_window_exchange(spark):
+    from searchengine_spark.operators.context import role_spans
+
+    t = spark.createDataFrame(
+        [("c", i, "user", "x y z") for i in range(20)],
+        "conv_id string, turn_idx int, role string, text string")
+    tree = _tree(_plan(role_spans(t)))
+    assert tree.count("Exchange") == 1, tree
+    assert "Window" in tree
+
+
+def test_prf_and_mlt_plans_have_no_cartesian(spark):
+    """Both two-stage retrievers must keep the query-terms side broadcast
+    and never degrade to a nested-loop/cartesian shape."""
+    from searchengine_spark.operators.forward import (
+        CorpusScalars,
+        build_forward,
+        build_term_stats,
+        explode_forward,
+    )
+    from searchengine_spark.operators.mlt import more_like_this
+    from searchengine_spark.operators.prf import prf_topk
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i} words") for i in range(30)],
+        "doc_id long, text string")
+    fwd = build_forward(docs)
+    tf = explode_forward(fwd)
+    stats = build_term_stats(tf)
+    scal = CorpusScalars.compute(fwd)
+    for df in (prf_topk(tf, stats, scal, "alpha", k=5),
+               more_like_this(tf, stats, scal, 0, k=5)):
+        plan = _plan(df)
+        assert "Cartesian" not in plan and "NestedLoop" not in plan
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
