@@ -1180,6 +1180,37 @@ FROM tf JOIN stats s USING (term) JOIN dl USING (doc_id)
 GROUP BY 1"""
 
 
+def q_doc_bigram_logprob(spark, sf_dir):
+    """Stupid-backoff bigram-LM quality score (operators/textstats.py
+    doc_bigram_logprob): corpus-attested continuations score
+    count(w1w2)/cf(w1), singleton bigrams back off to α·unigram —
+    sharper than the unigram filter at catching word salad. Hash joins
+    only, nothing vocabulary-sized broadcast."""
+    from searchengine_spark.operators.textstats import doc_bigram_logprob
+
+    docs, _, _, stats, scalars = _index_parts(spark, sf_dir)
+    return doc_bigram_logprob(docs, stats, scalars.sum_dl)
+
+
+SQL_DOC_BIGRAM_LOGPROB = f"""WITH {BASE_CTES},
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                                       i -> t[i] || ' ' || t[i + 1])) AS bigram
+  FROM tokd),
+bc AS (SELECT bigram, count(*)::BIGINT AS c2 FROM bg GROUP BY 1),
+inst AS (
+  SELECT bg.doc_id,
+    CASE WHEN bc.c2 >= 2
+         THEN ln(bc.c2 / s1.cf)
+         ELSE ln(0.4 * s2.cf / (SELECT sum(dl)::DOUBLE FROM dl)) END AS lp
+  FROM bg JOIN bc USING (bigram)
+  JOIN stats s1 ON s1.term = split_part(bg.bigram, ' ', 1)
+  JOIN stats s2 ON s2.term = split_part(bg.bigram, ' ', 2))
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+  round(sum(lp) / count(*), 5) AS avg_logprob
+FROM inst GROUP BY 1"""
+
+
 def q_source_divergence(spark, sf_dir):
     """Per-source KL drift vs the corpus unigram distribution
     (operators/textstats.py source_divergence)."""
@@ -2168,6 +2199,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "bigram_pmi": q_bigram_pmi,
         "doc_logprob": q_doc_logprob,
+        "doc_bigram_logprob": q_doc_bigram_logprob,
         "repetition_stats": q_repetition_stats,
         "pii_scan": q_pii_scan,
         "source_divergence": q_source_divergence,
@@ -2254,6 +2286,7 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "bigram_pmi": SQL_BIGRAM_PMI,
         "doc_logprob": SQL_DOC_LOGPROB,
+        "doc_bigram_logprob": SQL_DOC_BIGRAM_LOGPROB,
         "repetition_stats": SQL_REPETITION_STATS,
         "pii_scan": SQL_PII_SCAN,
         "source_divergence": SQL_SOURCE_DIVERGENCE,

@@ -162,6 +162,60 @@ def doc_unigram_logprob(
     )
 
 
+def doc_bigram_logprob(
+    docs: DataFrame,
+    term_stats: DataFrame,
+    total_tokens: int,
+    alpha: float = 0.4,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc average bigram-LM log-probability with STUPID BACKOFF
+    (Brants et al., EMNLP 2007 — the web-scale LM recipe: an
+    unnormalized score, exactly what a filter needs and the only variant
+    whose corpus pass is two hash aggs):
+
+        s(w2|w1) = count(w1 w2) / cf(w1)        if count >= min_count
+                 = alpha * cf(w2) / T           otherwise (backoff)
+
+    min_count=2 makes singleton bigrams — which every doc trivially
+    contributes to its own score — back off to the unigram model, so the
+    bigram term only rewards genuinely corpus-attested continuations.
+    Sharper than ``doc_unigram_logprob`` at separating word salad from
+    fluent text (salad has plausible unigrams, implausible bigrams).
+
+    Plan: in-row bigram formation (zip_with) -> one corpus bigram-count
+    hash agg -> per-instance hash joins on bigram/term (NOT broadcast —
+    both sides are corpus-vocabulary-sized, the unbounded-broadcast
+    trap) -> one per-doc agg. Docs with < 2 admitted tokens carry no
+    bigrams and are absent. -> (doc_id, n_bigrams, avg_logprob).
+    """
+    from searchengine_spark.operators.collocations import doc_bigrams
+
+    bg = doc_bigrams(docs, text_col=text_col)
+    counts = bg.groupBy("bigram").agg(F.count("*").alias("c2"))
+    inst = (
+        bg.join(counts, "bigram")
+        .withColumn("_w1", F.split("bigram", " ")[0])
+        .withColumn("_w2", F.split("bigram", " ")[1])
+        .join(term_stats.select(F.col("term").alias("_w1"),
+                                F.col("cf").alias("cf1")), "_w1")
+        .join(term_stats.select(F.col("term").alias("_w2"),
+                                F.col("cf").alias("cf2")), "_w2")
+    )
+    t = F.lit(float(total_tokens))
+    lp = F.when(
+        F.col("c2") >= min_count, F.log(F.col("c2") / F.col("cf1"))
+    ).otherwise(F.log(F.lit(float(alpha)) * F.col("cf2") / t))
+    return (
+        inst.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.sum(lp) / F.count("*"), 5).alias("avg_logprob"),
+        )
+    )
+
+
 def source_divergence(
     tf_table: DataFrame,
     doc_meta: DataFrame,

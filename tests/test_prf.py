@@ -62,3 +62,41 @@ def test_prf_surfaces_doc_without_query_terms(spark, index):
     assert 50 in prf
     # original-term docs still rank (expansion is additive, damped)
     assert plain & prf
+
+
+def test_bigram_logprob_separates_salad_from_fluent(spark):
+    """Two docs with the IDENTICAL token multiset — one repeats a fluent
+    sentence (its bigrams are corpus-attested many times), one is the
+    same words shuffled into salad (singleton bigrams -> backoff).
+    Unigram logprob cannot tell them apart (same composition); the
+    bigram filter must score fluent strictly higher."""
+    from searchengine_spark.operators.forward import (
+        CorpusScalars,
+        build_forward,
+        build_term_stats,
+        explode_forward,
+    )
+    from searchengine_spark.operators.textstats import (
+        doc_bigram_logprob,
+        doc_unigram_logprob,
+    )
+
+    sent = "the cat sat on the mat"
+    salad = "mat the on sat cat the"
+    docs = spark.createDataFrame(
+        [(0, " ".join([sent] * 4)), (1, " ".join([salad] * 4)),
+         (2, sent), (3, sent)],
+        "doc_id long, text string")
+    fwd = build_forward(docs)
+    tf = explode_forward(fwd)
+    stats = build_term_stats(tf)
+    scal = CorpusScalars.compute(fwd)
+    uni = {r.doc_id: r.avg_logprob for r in
+           doc_unigram_logprob(tf, stats, scal.sum_dl).collect()}
+    assert abs(uni[0] - uni[1]) < 1e-9  # unigram model is blind to order
+    bi = {r.doc_id: r.avg_logprob for r in
+          doc_bigram_logprob(docs, stats, scal.sum_dl).collect()}
+    # (the salad doc's 4x self-repetition attests its own inner bigrams,
+    # so the gap comes from the sentence-boundary transitions — still a
+    # clear strict separation where the unigram model saw none)
+    assert bi[0] > bi[1] + 0.2, bi  # bigram model is not
