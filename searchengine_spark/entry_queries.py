@@ -1039,6 +1039,62 @@ SQL_ROLE_SPANS = """SELECT source AS conv_id, doc_id::BIGINT AS turn_idx,
 FROM documents"""
 
 
+def _tool_transcripts(spark, sf_dir):
+    """Transcript proxy with a deterministic tool column (the proxy table
+    has none): every 5th turn is a bash call, every 5th+1 a search."""
+    return _as_transcripts(spark, sf_dir).withColumn(
+        "tool",
+        F.when(F.col("turn_idx") % 5 == 0, "bash")
+        .when(F.col("turn_idx") % 5 == 1, "search")
+        .otherwise(F.lit(None).cast("string")),
+    )
+
+
+def q_tool_usage(spark, sf_dir):
+    """Per-tool usage profile over transcripts (operators/temporal.py
+    tool_usage): call counts, conversation reach, mean position in the
+    conversation. Output bounded by |tools|."""
+    from searchengine_spark.operators.temporal import tool_usage
+
+    return tool_usage(_tool_transcripts(spark, sf_dir))
+
+
+SQL_TOOL_USAGE = """WITH t AS (
+  SELECT source AS conv_id, doc_id AS turn_idx,
+    CASE WHEN doc_id % 5 = 0 THEN 'bash'
+         WHEN doc_id % 5 = 1 THEN 'search' END AS tool
+  FROM documents),
+ln AS (SELECT conv_id, max(turn_idx) AS max_idx FROM t GROUP BY 1)
+SELECT tool, count(*)::BIGINT AS n_calls,
+  count(DISTINCT conv_id)::BIGINT AS n_convs,
+  round(avg(CASE WHEN max_idx > 0 THEN turn_idx::DOUBLE / max_idx
+                 ELSE 0.0 END), 6) AS mean_turn_frac
+FROM t JOIN ln USING (conv_id)
+WHERE tool IS NOT NULL GROUP BY 1"""
+
+
+def q_tool_transitions(spark, sf_dir):
+    """Tool-sequence mining over transcripts (operators/temporal.py
+    tool_transitions): which tool follows which, within conversations.
+    Output bounded by |tools|²."""
+    from searchengine_spark.operators.temporal import tool_transitions
+
+    return tool_transitions(_tool_transcripts(spark, sf_dir))
+
+
+SQL_TOOL_TRANSITIONS = """WITH t AS (
+  SELECT source AS conv_id, doc_id AS turn_idx,
+    CASE WHEN doc_id % 5 = 0 THEN 'bash'
+         WHEN doc_id % 5 = 1 THEN 'search' END AS tool
+  FROM documents),
+seq AS (
+  SELECT lag(tool) OVER (PARTITION BY conv_id
+                         ORDER BY turn_idx, turn_idx) AS prev_tool, tool
+  FROM t WHERE tool IS NOT NULL)
+SELECT prev_tool, tool, count(*)::BIGINT AS n_pairs
+FROM seq WHERE prev_tool IS NOT NULL GROUP BY 1, 2"""
+
+
 def q_split_assign(spark, sf_dir):
     """Deterministic train/val/test split (operators/sampling.py):
     membership = pure function of md5(doc_id || salt) — stable across
@@ -2196,6 +2252,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_context": q_turn_context,
         "conversation_text": q_conversation_text,
         "role_spans": q_role_spans,
+        "tool_usage": q_tool_usage,
+        "tool_transitions": q_tool_transitions,
         "stratified_sample": q_stratified_sample,
         "bigram_pmi": q_bigram_pmi,
         "doc_logprob": q_doc_logprob,
@@ -2283,6 +2341,8 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "turn_context": SQL_TURN_CONTEXT,
         "conversation_text": SQL_CONVERSATION_TEXT,
         "role_spans": SQL_ROLE_SPANS,
+        "tool_usage": SQL_TOOL_USAGE,
+        "tool_transitions": SQL_TOOL_TRANSITIONS,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "bigram_pmi": SQL_BIGRAM_PMI,
         "doc_logprob": SQL_DOC_LOGPROB,

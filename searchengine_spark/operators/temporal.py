@@ -107,3 +107,39 @@ def event_type_bigrams(
     return pairs.groupBy("prev_type", "event_type").agg(
         F.count("*").cast("long").alias("n_pairs")
     )
+
+
+def tool_usage(transcripts: DataFrame) -> DataFrame:
+    """Per-tool usage profile over a transcript corpus -> (tool, n_calls,
+    n_convs, mean_turn_frac): how often each tool fires, how many
+    conversations touch it, and where in the conversation it tends to
+    appear (0 = opening turn, 1 = final turn). Two hash aggs; output
+    bounded by |tools|."""
+    conv_len = transcripts.groupBy("conv_id").agg(
+        F.max("turn_idx").alias("_max_idx"))
+    calls = (
+        transcripts.where(F.col("tool").isNotNull())
+        .join(conv_len, "conv_id")
+    )
+    frac = F.when(
+        F.col("_max_idx") > 0,
+        F.col("turn_idx").cast("double") / F.col("_max_idx"),
+    ).otherwise(F.lit(0.0))
+    return calls.groupBy("tool").agg(
+        F.count("*").cast("long").alias("n_calls"),
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        F.round(F.avg(frac), 6).alias("mean_turn_frac"),
+    )
+
+
+def tool_transitions(transcripts: DataFrame) -> DataFrame:
+    """Adjacent tool-call transition counts within conversations —
+    ``event_type_bigrams`` over the tool turns, ordered by turn_idx.
+    The workflow-mining view of an agent-transcript corpus (which tool
+    tends to follow which); output bounded by |tools|^2."""
+    t = transcripts.where(F.col("tool").isNotNull())
+    return event_type_bigrams(
+        t, key="conv_id", ts="turn_idx", tiebreak="turn_idx",
+        type_col="tool",
+    ).withColumnRenamed("prev_type", "prev_tool") \
+     .withColumnRenamed("event_type", "tool")

@@ -225,3 +225,50 @@ def test_approx_quantiles_close_to_exact(spark):
         idx = int(p * (len(vals) - 1))
         gap = max(vals[min(idx + 2, len(vals) - 1)] - vals[max(idx - 2, 0)], 1e-6)
         assert abs(approx[p] - ex) <= gap, (p, ex, approx[p])
+
+
+# ---------------------------------------------------------------------------
+# tool analytics (the transcript schema's tool column)
+# ---------------------------------------------------------------------------
+
+def test_tool_usage_and_transitions(spark):
+    from searchengine_spark.operators.temporal import (
+        tool_transitions,
+        tool_usage,
+    )
+
+    rows = [
+        # conv, idx, role, text, tool
+        ("c0", 0, "user", "q", None),
+        ("c0", 1, "tool", "r", "search"),
+        ("c0", 2, "tool", "r", "bash"),
+        ("c0", 3, "assistant", "a", None),
+        ("c0", 4, "tool", "r", "bash"),
+        ("c1", 0, "tool", "r", "search"),
+        ("c1", 1, "assistant", "a", None),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string")
+    usage = {r.tool: (r.n_calls, r.n_convs, r.mean_turn_frac)
+             for r in tool_usage(t).collect()}
+    assert usage["bash"] == (2, 1, 0.75)        # turns 2/4 and 4/4 of c0
+    assert usage["search"][0] == 2 and usage["search"][1] == 2
+    assert usage["search"][2] == 0.125          # (1/4 + 0/1... 0) / 2
+    trans = {(r.prev_tool, r.tool): r.n_pairs
+             for r in tool_transitions(t).collect()}
+    # c0 tool sequence: search -> bash -> bash (non-tool turns skipped)
+    assert trans == {("search", "bash"): 1, ("bash", "bash"): 1}
+
+
+def test_tool_usage_over_synth_source(spark, small):
+    """The generator's tool column is consistent: tool is set iff
+    role == 'tool', and the analytics consume it end-to-end."""
+    from searchengine_spark.operators.temporal import tool_usage
+
+    usage = tool_usage(small).collect()
+    assert usage  # the synth corpus does emit tool turns
+    n_tool_turns = small.where("tool IS NOT NULL").count()
+    assert n_tool_turns == sum(r.n_calls for r in usage)
+    assert small.where(
+        "(tool IS NOT NULL) != (role = 'tool')").count() == 0
