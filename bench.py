@@ -686,6 +686,10 @@ def query_bench(spark) -> tuple[dict, dict]:
 
     timed("prf_topk", lambda: _prf_topk(
         idx.tf_table, idx.term_stats, idx.scalars, single_q, k=TOPK).collect())
+    from searchengine_spark.operators.mlt import more_like_this as _mlt
+
+    timed("more_like_this", lambda: _mlt(
+        idx.tf_table, idx.term_stats, idx.scalars, 7, k=TOPK).collect())
 
     raw_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     timed("dedup_exact", lambda: dedup.dedup_exact(raw_docs).count())
@@ -703,6 +707,10 @@ def query_bench(spark) -> tuple[dict, dict]:
         raw_docs).count())
     timed("doc_logprob", lambda: doc_unigram_logprob(
         idx.tf_table, idx.term_stats, idx.scalars.sum_dl).count())
+    from searchengine_spark.operators.textstats import doc_bigram_logprob
+
+    timed("doc_bigram_logprob", lambda: doc_bigram_logprob(
+        raw_docs, idx.term_stats, idx.scalars.sum_dl).count())
     timed("minhash_lsh", lambda: dedup.lsh_candidate_pairs_wide(
         dedup.minhash_signatures_wide(raw_docs, n_perm=8),
         n_perm=8, n_bands=4).count())
