@@ -2032,6 +2032,87 @@ FROM documents d JOIN fr USING (source)
 WHERE {_DUCK_BUCKET.format(salt='mix-v1')} < floor(f * 10000)::BIGINT"""
 
 
+# quality formula as reusable CTE pieces (same arithmetic as SQL_QUALITY)
+_QUALITY_CTE = f"""qtok AS (
+  SELECT d.doc_id, {_TOKS_TEXT} AS t, coalesce(d.text, '') AS txt FROM documents d
+),
+qbase AS (
+  SELECT doc_id,
+    round(least(coalesce(len(t), 0) / 20.0, 1.0) * 0.4
+      + (CASE WHEN length(txt) > 0
+              THEN length(regexp_replace(txt, '[^A-Za-z]', '', 'g'))::DOUBLE / length(txt)
+              ELSE 0.0 END) * 0.4
+      + least((CASE WHEN coalesce(len(t), 0) > 0
+                    THEN len(list_filter(t, x -> list_contains({_STOPLIST}, x)))::DOUBLE / len(t)
+                    ELSE 0.0 END) * 5.0, 1.0) * 0.2, 6) AS quality
+  FROM qtok
+)"""
+
+
+def q_quality_weighted_sample(spark, sf_dir):
+    """Quality-weighted deterministic sampling (operators/sampling.py
+    weighted_sample): each doc kept with probability == its quality score
+    — the "data diet" curriculum move — decided by the content-stable
+    hash bucket, so membership is reproducible across runs and engines."""
+    from searchengine_spark.operators.sampling import weighted_sample
+
+    scored = textstats.quality_score(_docs(spark, sf_dir)).select(
+        "doc_id", "quality")
+    return weighted_sample(scored, "quality", salt="wsample-v1").select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+
+
+SQL_QUALITY_WEIGHTED_SAMPLE = f"""WITH {_QUALITY_CTE}
+SELECT doc_id::BIGINT AS doc_id FROM qbase
+WHERE {_DUCK_BUCKET.format(salt='wsample-v1')} < floor(quality * 10000)::BIGINT"""
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware cluster canonicalization (operators/dedup.py
+    keep_best): within each near-dup component, keep the HIGHEST-quality
+    member (tie: min doc_id) instead of the earliest — the keeper choice
+    a training pipeline actually wants."""
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir),
+                                      threshold=_JACCARD_THRESHOLD)
+    comp = dedup.connected_components(pairs)
+    scores = textstats.quality_score(_docs(spark, sf_dir)).select(
+        "doc_id", "quality")
+    out = dedup.keep_best(comp, scores)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+        "keep",
+    )
+
+
+SQL_DEDUP_KEEP_BEST = f"""WITH RECURSIVE {_SHINGLE_CTES},
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+prs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= {_JACCARD_THRESHOLD}
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+          UNION SELECT id_b, id_a FROM prs),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.label
+),
+comp AS (SELECT node AS doc_id, min(label) AS component
+         FROM reach GROUP BY node),
+{_QUALITY_CTE}
+SELECT c.doc_id::BIGINT AS doc_id, c.component::BIGINT AS component,
+  (row_number() OVER (PARTITION BY c.component
+                      ORDER BY q.quality DESC, c.doc_id ASC) = 1) AS keep
+FROM comp c JOIN qbase q USING (doc_id)"""
+
+
 _MLT_DOC, _MLT_E = 7, 5
 
 
@@ -2232,6 +2313,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "dedup_components": q_dedup_components,
+        "dedup_keep_best": q_dedup_keep_best,
+        "quality_weighted_sample": q_quality_weighted_sample,
         "split_contamination": q_split_contamination,
         "dedup_keep_first": q_dedup_keep_first,
         "pack_bins": q_pack_bins,
@@ -2323,6 +2406,8 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
         "dedup_components": SQL_DEDUP_COMPONENTS,
+        "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
+        "quality_weighted_sample": SQL_QUALITY_WEIGHTED_SAMPLE,
         "split_contamination": SQL_SPLIT_CONTAMINATION,
         "dedup_keep_first": SQL_DEDUP_KEEP_FIRST,
         "pack_bins": SQL_PACK_BINS,

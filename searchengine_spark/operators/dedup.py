@@ -479,3 +479,27 @@ def connected_components(
     edges.unpersist()
     return labels.select(F.col("src").alias("doc_id"),
                          F.col("label").alias("component"))
+
+
+def keep_best(
+    components: DataFrame,
+    scores: DataFrame,
+    score_col: str = "quality",
+) -> DataFrame:
+    """Quality-aware cluster canonicalization: given (doc_id, component)
+    cluster assignments and per-doc scores, mark each cluster's highest-
+    scoring member as the keeper (tie: lowest doc_id) — the refinement of
+    keep-first/min-id that a training pipeline actually wants (keep the
+    BEST duplicate, not the earliest). One join + one window over the
+    (small) clustered-doc set; docs outside any cluster are untouched by
+    construction (they are absent from ``components``)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component").orderBy(
+        F.desc(score_col), F.asc("doc_id"))
+    return (
+        components.join(scores, "doc_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .select(
+            "doc_id", "component", (F.col("_rn") == 1).alias("keep"))
+    )

@@ -84,3 +84,20 @@ def stratified_sample(
         hash_bucket(F.col(key_col), salt)
         < (rate * BUCKETS).cast("long")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str = "doc_id",
+    salt: str = "wsample-v1",
+) -> DataFrame:
+    """Per-row weighted deterministic sampling: keep a row with
+    probability equal to its ``weight_col`` value in [0, 1] (e.g. a
+    quality score — the "data diet" move: keep good docs surely, bad
+    docs rarely), decided by the same content-stable hash bucket as the
+    other samplers. Membership is a pure function of (key, salt, weight)
+    — reproducible across runs and engines; still a stateless row filter,
+    no shuffle."""
+    thr = F.floor(F.col(weight_col) * BUCKETS).cast("long")
+    return df.filter(hash_bucket(F.col(key_col), salt) < thr)

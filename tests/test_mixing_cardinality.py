@@ -83,3 +83,31 @@ def test_group_cardinality_exact_and_sketch(spark):
                                          rsd=0.05).collect()}
     for g, ex in exact.items():
         assert abs(approx[g] - ex) <= 3 * 0.05 * ex, (g, ex, approx[g])
+
+
+def test_weighted_sample_membership_is_hash_pure(spark):
+    from searchengine_spark.operators.sampling import weighted_sample
+
+    rows = [(i, [0.0, 0.25, 0.5, 0.75, 1.0][i % 5]) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    kept = {r.doc_id for r in weighted_sample(df, "w").collect()}
+    want = {i for i, w in rows
+            if _py_bucket(str(i), "wsample-v1") < int(w * 10_000)}
+    assert kept == want
+    assert not any(i % 5 == 0 for i in kept)   # weight 0 never kept
+    assert sum(1 for i in range(500) if i % 5 == 4) == \
+        sum(1 for i in kept if i % 5 == 4)      # weight 1 always kept
+
+
+def test_keep_best_picks_highest_score_with_tiebreak(spark):
+    from searchengine_spark.operators.dedup import keep_best
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, component long")
+    scores = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (10, 0.1), (11, 0.1)],
+        "doc_id long, quality double")
+    got = {r.doc_id: r.keep for r in keep_best(comp, scores).collect()}
+    # component 1: docs 2 and 3 tie at 0.9 -> min doc_id (2) wins
+    assert got == {1: False, 2: True, 3: False, 10: True, 11: False}
