@@ -229,6 +229,43 @@ class SearchEngine:
         return prf_topk(tf, self.term_stats, self.scalars, query,
                         k=k, r=r, e=e, beta=beta)
 
+    def search_facets(self, query: str, field: str = "role",
+                      k: int = 100, mode: str = "wand") -> DataFrame:
+        """Facet counts over the top-k result set: run the query, join
+        the (k-row, broadcast) hits onto the doc store, count per value
+        of ``field`` (role / conv_id / tool / any doc_map column). The
+        facet agg touches only k rows — the search does the heavy
+        lifting."""
+        hits = self.search(query, k=k, mode=mode).select("doc_id")
+        return (
+            self.doc_map.join(F.broadcast(hits), "doc_id")
+            .groupBy(F.col(field).alias("value"))
+            .agg(F.count("*").cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc("value"))
+        )
+
+    def index_stats(self) -> dict:
+        """Serving-surface snapshot of the loaded index: corpus scalars
+        plus vocabulary size and posting count from the (already
+        aggregated) term_stats — one tiny agg, no postings scan."""
+        row = self.term_stats.agg(
+            F.count("*").alias("vocab"),
+            F.sum("df").alias("postings"),
+            F.sum("cf").alias("tokens"),
+        ).collect()[0]
+        return {
+            "n_docs": int(self.scalars.n_docs),
+            "avgdl": float(self.scalars.avgdl),
+            "vocab": int(row["vocab"]),
+            "postings": int(row["postings"]),
+            "tokens": int(row["tokens"]),
+            "n_tombstones": len(self.tombstones()),
+            "layouts": [name for name, df in
+                        (("doc", self.doc_segments),
+                         ("term", self.term_segments),
+                         ("pos", self.pos_postings)) if df is not None],
+        }
+
     def more_like_this(self, doc_id: int, k: int = 10,
                        e: int = 5) -> DataFrame:
         """Related docs for a seed doc (operators/mlt.py): its e most

@@ -118,6 +118,21 @@ def make_handler(engine: SearchEngine, lock: threading.Lock):
                             for r in rows
                         ],
                     })
+                elif url.path == "/facets":
+                    q = (qs.get("q") or [""])[0]
+                    field = (qs.get("field") or ["role"])[0]
+                    k = int((qs.get("k") or ["100"])[0])
+                    with lock:
+                        rows = engine.search_facets(q, field=field,
+                                                    k=k).collect()
+                    self._reply(200, {
+                        "query": q, "field": field, "k": k,
+                        "facets": [{"value": r["value"], "n": int(r["n"])}
+                                   for r in rows],
+                    })
+                elif url.path == "/stats":
+                    with lock:
+                        self._reply(200, engine.index_stats())
                 elif url.path == "/mlt":
                     doc_id = int((qs.get("id") or ["-1"])[0])
                     k = int((qs.get("k") or ["10"])[0])

@@ -212,3 +212,29 @@ def test_mlt_endpoint(served):
     got = [(r["doc_id"], round(r["score"], 9)) for r in body["results"]]
     assert got == direct and len(got) > 0
     assert seed not in {d for d, _ in got}
+
+
+def test_facets_and_stats_endpoints(served):
+    """/facets aggregates the doc-store field over exactly the top-k hit
+    set (checked against a direct engine search + pandas count);
+    /stats reports corpus scalars + vocab/postings consistent with
+    term_stats."""
+    eng, base = served
+    q = "babace badi"
+    status, body = _get(f"{base}/facets?q={q.replace(' ', '+')}&field=role&k=20")
+    assert status == 200 and body["field"] == "role"
+    hit_ids = [r.doc_id for r in eng.search(q, k=20).collect()]
+    roles = {r.doc_id: r.role
+             for r in eng.doc_map.filter(
+                 eng.doc_map.doc_id.isin(hit_ids)).collect()}
+    want: dict[str, int] = {}
+    for d in hit_ids:
+        want[roles[d]] = want.get(roles[d], 0) + 1
+    got = {f["value"]: f["n"] for f in body["facets"]}
+    assert got == want and sum(got.values()) == len(hit_ids)
+
+    status, st = _get(f"{base}/stats")
+    assert status == 200
+    assert st["n_docs"] == eng.scalars.n_docs
+    assert st["vocab"] == eng.term_stats.count()
+    assert st["layouts"] == ["doc"] and st["n_tombstones"] == 0
