@@ -229,6 +229,19 @@ class SearchEngine:
         return prf_topk(tf, self.term_stats, self.scalars, query,
                         k=k, r=r, e=e, beta=beta)
 
+    def search_after(self, query: str, after_score: float,
+                     after_doc: int, k: int = 10) -> DataFrame:
+        """Cursor pagination: the k results strictly after
+        (after_score, after_doc) in (score desc, doc_id asc) order —
+        deep pages without the offset scan. Tombstones masked."""
+        from searchengine_spark.operators.deletes import exclude_tf
+        from searchengine_spark.operators.topk import score_topk_after
+
+        tf = exclude_tf(tf_from_doc_map(self.doc_map),
+                        set(self.tombstones()))
+        return score_topk_after(tf, self.term_stats, self.scalars,
+                                query, after_score, after_doc, k=k)
+
     def search_facets(self, query: str, field: str = "role",
                       k: int = 100, mode: str = "wand") -> DataFrame:
         """Facet counts over the top-k result set: run the query, join

@@ -2113,6 +2113,34 @@ SELECT c.doc_id::BIGINT AS doc_id, c.component::BIGINT AS component,
 FROM comp c JOIN qbase q USING (doc_id)"""
 
 
+def q_bm25_page2(spark, sf_dir, query: str = "spark join fast",
+                 k: int = 10):
+    """Cursor pagination (operators/topk.py score_topk_after): page 2 is
+    fetched through the SEARCH-AFTER predicate (score < cursor OR
+    (= cursor AND doc_id > cursor-doc)) seeded from page 1's last row —
+    while the oracle fetches it with OFFSET/LIMIT. Two different access
+    paths that must agree row-for-row."""
+    from searchengine_spark.operators.topk import score_topk_after
+
+    _, _, tf_table, stats, scalars = _index_parts(spark, sf_dir)
+    page1 = _bm25_topk(query, k)(spark, sf_dir).collect()
+    last = page1[-1]
+    return score_topk_after(tf_table, stats, scalars, query,
+                            float(last["score"]), int(last["doc_id"]), k=k)
+
+
+def _bm25_page2_sql(query: str, k: int = 10) -> str:
+    return f"""WITH {BASE_CTES},
+{_query_cte(query)},
+partial AS (
+  SELECT tf.doc_id, {_BM25_W} AS w
+  FROM tf JOIN q USING (term) JOIN stats s USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN consts c
+)
+SELECT doc_id, round(sum(w), 6) AS score FROM partial GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {k} OFFSET {k}"""
+
+
 _MLT_DOC, _MLT_E = 7, 5
 
 
@@ -2297,6 +2325,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_multi": _bm25_topk("spark join fast", 10),
         "bm25_topk_rare": _bm25_topk("dup", 10),
         "bm25_topk_dupterms": _bm25_topk("the the data", 10),
+        "bm25_page2": q_bm25_page2,
         "reference_topk": _reference_topk("spark join", 10, 1000),
         "reference_topk_capped": _reference_topk("spark join", 10, 50),
         "wand_topk": _wand_topk("spark join fast", 10),
@@ -2391,6 +2420,7 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "bm25_topk_multi": _bm25_topk_sql("spark join fast", 10),
         "bm25_topk_rare": _bm25_topk_sql("dup", 10),
         "bm25_topk_dupterms": _bm25_topk_sql("the the data", 10),
+        "bm25_page2": _bm25_page2_sql("spark join fast", 10),
         "reference_topk": _reference_topk_sql("spark join", 10, 1000),
         "reference_topk_capped": _reference_topk_sql("spark join", 10, 50),
         "wand_topk": _bm25_topk_sql("spark join fast", 10),

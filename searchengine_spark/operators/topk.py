@@ -143,3 +143,33 @@ def attach_doc_meta(topk: DataFrame, doc_map: DataFrame) -> DataFrame:
         meta.join(F.broadcast(topk), "doc_id")
         .orderBy(F.desc("score"), F.asc("doc_id"))
     )
+
+
+def score_topk_after(
+    tf_table: DataFrame,
+    term_stats: DataFrame,
+    scalars: CorpusScalars,
+    query: str,
+    after_score: float,
+    after_doc: int,
+    k: int = 10,
+    mode: str = "bm25",
+) -> DataFrame:
+    """Cursor pagination (search-after): the next ``k`` results strictly
+    after the cursor ``(after_score, after_doc)`` in the engine-wide
+    (score desc, doc_id asc) order. The cursor PREDICATE replaces the
+    OFFSET scan — at depth d an offset plan materializes d+k rows per
+    partition, while the cursor filter prunes before the bounded heap,
+    the standard deep-pagination shape (Elasticsearch search_after).
+    Scores compare ROUNDED (6dp), matching the rank order every other
+    entry pins — a cursor taken from page N reproduces page N+1 exactly.
+    """
+    allsc = score_all(tf_table, term_stats, scalars, query, mode)
+    rounded = allsc.select(
+        "doc_id", F.round("score", 6).alias("score"))
+    after = rounded.where(
+        (F.col("score") < float(after_score))
+        | ((F.col("score") == float(after_score))
+           & (F.col("doc_id") > int(after_doc)))
+    )
+    return after.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

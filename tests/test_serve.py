@@ -238,3 +238,27 @@ def test_facets_and_stats_endpoints(served):
     assert st["n_docs"] == eng.scalars.n_docs
     assert st["vocab"] == eng.term_stats.count()
     assert st["layouts"] == ["doc"] and st["n_tombstones"] == 0
+
+
+def test_search_after_pages_partition_the_ranking(served):
+    """Pages fetched via the cursor predicate must exactly tile the
+    deep top-k: page1 + page2 (cursor = page1's last row) == top-2k,
+    with no overlap and no gap."""
+    from pyspark.sql import functions as F
+
+    eng, base = served
+    # hottest term -> guaranteed > 20 matching docs (non-vacuous page 2)
+    q = eng.term_stats.orderBy(F.desc("df")).first()["term"]
+    # the cursor contract is defined on the ROUNDED (6dp) ordering, the
+    # same discipline every oracle-gated entry pins
+    deep = sorted(
+        ((round(float(r.score), 6), int(r.doc_id))
+         for r in eng.search(q, k=20, mode="exhaustive").collect()),
+        key=lambda t: (-t[0], t[1]))
+    page1, want2 = deep[:10], deep[10:20]
+    last_score, last_doc = page1[-1]
+    p2 = [(round(float(r.score), 6), int(r.doc_id))
+          for r in eng.search_after(q, last_score, last_doc,
+                                    k=10).collect()]
+    assert p2 == want2 and p2
+    assert not set(d for _, d in p2) & set(d for _, d in page1)
