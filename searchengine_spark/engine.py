@@ -320,10 +320,22 @@ class SearchEngine:
 
     def search_near(self, term_a: str, term_b: str, window: int = 5,
                     k: int = 10) -> DataFrame:
-        """Proximity (NEAR/window) top-k over the doc store; BM25 on the
-        within-window pair count, tombstones masked."""
-        from searchengine_spark.operators.positional import near_topk
+        """Proximity (NEAR/window) top-k; BM25 on the within-window pair
+        count, tombstones masked. Uses the persisted positional layout
+        when present (two term-row point filters instead of a corpus
+        pass — symmetric to search_phrase); falls back to the doc-store
+        scan otherwise."""
+        from searchengine_spark.operators.positional import (
+            near_topk,
+            near_topk_indexed,
+        )
 
+        if self.pos_postings is not None:
+            return near_topk_indexed(
+                self.pos_postings, self.doc_map.select("doc_id", "dl"),
+                term_a, term_b, self.scalars.n_docs, self.scalars.avgdl,
+                window=window, k=k, exclude=self.tombstones(),
+            )
         return near_topk(
             self.doc_map.select("doc_id", "text"),
             self.doc_map.select("doc_id", "dl"),

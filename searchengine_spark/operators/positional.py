@@ -171,6 +171,33 @@ def phrase_match_indexed(postings: DataFrame, phrase: str) -> DataFrame:
     )
 
 
+def near_match_indexed(postings: DataFrame, term_a: str, term_b: str,
+                       window: int = 5) -> DataFrame:
+    """(doc_id, pairs) from a ``build_positional`` table: two term-row
+    point filters (pushed to the scan — only the two terms' position
+    lists are ever read), one doc_id join, in-row O(|pa|·|pb|) window
+    counting — the serving-path NEAR, symmetric to
+    ``phrase_match_indexed``."""
+    if term_a == term_b:
+        raise ValueError("near_match needs two distinct terms")
+    pa = (postings.filter(F.col("term") == term_a)
+          .select("doc_id", F.col("positions").alias("_pa")))
+    pb = (postings.filter(F.col("term") == term_b)
+          .select("doc_id", F.col("positions").alias("_pb")))
+    pairs = F.aggregate(
+        F.col("_pa"),
+        F.lit(0),
+        lambda acc, p: acc + F.size(
+            F.filter(F.col("_pb"), lambda q: F.abs(q - p) <= window)
+        ),
+    )
+    return (
+        pa.join(pb, "doc_id")
+        .select("doc_id", pairs.cast("long").alias("pairs"))
+        .filter(F.col("pairs") > 0)
+    )
+
+
 # -- scoring ------------------------------------------------------------------
 
 def _synthetic_bm25(matched: DataFrame, count_col: str, forward: DataFrame,
@@ -231,4 +258,14 @@ def near_topk(docs: DataFrame, forward: DataFrame, term_a: str, term_b: str,
     within-window pair count. -> (doc_id, score)."""
     return _synthetic_bm25(
         _mask(near_match(docs, term_a, term_b, window), exclude),
+        "pairs", forward, n_docs, avgdl, k)
+
+
+def near_topk_indexed(postings: DataFrame, forward: DataFrame, term_a: str,
+                      term_b: str, n_docs: int, avgdl: float,
+                      window: int = 5, k: int = 10,
+                      exclude=None) -> DataFrame:
+    """near_topk over a persisted ``build_positional`` table."""
+    return _synthetic_bm25(
+        _mask(near_match_indexed(postings, term_a, term_b, window), exclude),
         "pairs", forward, n_docs, avgdl, k)

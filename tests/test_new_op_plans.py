@@ -182,3 +182,15 @@ def test_prf_and_mlt_plans_have_no_cartesian(spark):
         plan = _plan(df)
         assert "Cartesian" not in plan and "NestedLoop" not in plan
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_indexed_near_pushes_term_filters(spark, docs, tmp_path):
+    from searchengine_spark.operators.positional import near_match_indexed
+
+    path = str(tmp_path / "posidx_near")
+    build_positional(docs).write.mode("overwrite").parquet(path)
+    postings = spark.read.parquet(path)
+    plan = _plan(near_match_indexed(postings, "alpha", "beta", window=3))
+    flat = plan.replace(" ", "").replace("'", "")
+    assert "PushedFilters" in plan
+    assert "EqualTo(term,alpha)" in flat and "EqualTo(term,beta)" in flat, plan

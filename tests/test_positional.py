@@ -161,3 +161,21 @@ def test_indexed_phrase_repeated_term(spark):
     assert got == {0: 2}
     direct = {r.doc_id: r.ptf for r in phrase_match(docs2, "a b a").collect()}
     assert direct == got
+
+
+def test_indexed_near_matches_corpus_pass(spark, docs):
+    from searchengine_spark.operators.positional import (
+        build_positional,
+        near_match,
+        near_match_indexed,
+    )
+
+    postings = build_positional(docs).cache()
+    for a, b, w in [("spark", "join", 2), ("spark", "join", 5),
+                    ("join", "spark", 2), ("spark", "fast", 1)]:
+        direct = {(r.doc_id, r.pairs) for r in
+                  near_match(docs, a, b, window=w).collect()}
+        indexed = {(r.doc_id, r.pairs) for r in
+                   near_match_indexed(postings, a, b, window=w).collect()}
+        assert direct == indexed, (a, b, w)
+    postings.unpersist()
