@@ -621,6 +621,11 @@ def query_bench(spark) -> tuple[dict, dict]:
     timed("phrase_topk_indexed", lambda: phrase_topk_indexed(
         pos_idx, fwd_dl, f"{top_terms[0]} {top_terms[1]}",
         idx.scalars.n_docs, idx.scalars.avgdl, k=TOPK).collect())
+    from searchengine_spark.operators.positional import near_topk_indexed
+
+    timed("near_topk_indexed", lambda: near_topk_indexed(
+        pos_idx, fwd_dl, top_terms[0], top_terms[-1],
+        idx.scalars.n_docs, idx.scalars.avgdl, window=3, k=TOPK).collect())
     pos_idx.unpersist()
 
     # block-max pruning effectiveness counters (recorded, not timed):
