@@ -31,13 +31,17 @@ def mixture_fractions(
     and some source would need more rows than it has); the fraction for s
     is then target[s] * T / counts[s], clamped to 1.0 for the binding
     source. Pure driver-side arithmetic over the tiny per-source counts.
+
+    A target source with NO rows in the corpus cannot contribute and is
+    excluded from both the feasibility min and the output (the realized
+    mixture renormalizes over the present sources) — strictly honoring
+    it would force T = 0, i.e. an empty corpus.
     """
-    t = min(counts[s] / target[s] for s in target if target[s] > 0)
-    return {
-        s: min(target[s] * t / counts[s], 1.0)
-        for s in target
-        if target[s] > 0
-    }
+    present = [s for s in target if target[s] > 0 and counts.get(s, 0) > 0]
+    if not present:
+        return {}
+    t = min(counts[s] / target[s] for s in present)
+    return {s: min(target[s] * t / counts[s], 1.0) for s in present}
 
 
 def mix_sources(

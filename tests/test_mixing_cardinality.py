@@ -111,3 +111,18 @@ def test_keep_best_picks_highest_score_with_tiebreak(spark):
     got = {r.doc_id: r.keep for r in keep_best(comp, scores).collect()}
     # component 1: docs 2 and 3 tie at 0.9 -> min doc_id (2) wins
     assert got == {1: False, 2: True, 3: False, 10: True, 11: False}
+
+
+def test_mixture_fractions_tolerates_absent_sources(spark, mix_docs):
+    from searchengine_spark.operators.mixing import (
+        mix_sources,
+        mixture_fractions,
+    )
+
+    # a target source with zero corpus rows is excluded, not a KeyError
+    fr = mixture_fractions({"a": 100}, {"a": 0.5, "ghost": 0.5})
+    assert fr == {"a": 1.0}
+    assert mixture_fractions({}, {"ghost": 1.0}) == {}
+    kept = mix_sources(
+        mix_docs, {"srcA": 0.4, "srcB": 0.4, "ghost": 0.2}).count()
+    assert kept > 0  # present sources still sampled
