@@ -1089,7 +1089,7 @@ SQL_TOOL_TRANSITIONS = """WITH t AS (
   FROM documents),
 seq AS (
   SELECT lag(tool) OVER (PARTITION BY conv_id
-                         ORDER BY turn_idx, turn_idx) AS prev_tool, tool
+                         ORDER BY turn_idx) AS prev_tool, tool
   FROM t WHERE tool IS NOT NULL)
 SELECT prev_tool, tool, count(*)::BIGINT AS n_pairs
 FROM seq WHERE prev_tool IS NOT NULL GROUP BY 1, 2"""
@@ -1819,14 +1819,15 @@ FROM events GROUP BY 1"""
 _SPAN_LEN = 8
 
 
-def _span_cte() -> str:
-    """DuckDB CTEs: every length-_SPAN_LEN token window of every doc,
+def _span_cte(source: str = "documents", suffix: str = "") -> str:
+    """DuckDB CTEs ``tokd{suffix}``/``spans{suffix}``: every
+    length-_SPAN_LEN token window of every ``source`` doc,
     md5-fingerprinted (span semantics of operators/spans.py)."""
     L = _SPAN_LEN
-    return f"""tokd AS (SELECT doc_id, {_TOKS_TEXT} AS t FROM documents),
-spans AS (
+    return f"""tokd{suffix} AS (SELECT doc_id, {_TOKS_TEXT} AS t FROM {source}),
+spans{suffix} AS (
   SELECT doc_id, md5(array_to_string(list_slice(t, i, i + {L - 1}), ' ')) AS span_md5
-  FROM tokd, unnest(range(1, greatest(len(t) - {L - 1}, 0) + 1)) AS u(i)
+  FROM tokd{suffix}, unnest(range(1, greatest(len(t) - {L - 1}, 0) + 1)) AS u(i)
 )"""
 
 
@@ -1973,26 +1974,25 @@ def q_quality_quantiles(spark, sf_dir):
                            probs=_QUANTILE_PROBS)
 
 
-SQL_QUALITY_QUANTILES = f"""WITH tokd AS (
+# quality formula as reusable CTE pieces (same arithmetic as SQL_QUALITY)
+_QUALITY_CTE = f"""qtok AS (
   SELECT d.doc_id, {_TOKS_TEXT} AS t, coalesce(d.text, '') AS txt FROM documents d
 ),
-m AS (
+qbase AS (
   SELECT doc_id,
-    coalesce(len(t), 0)::BIGINT AS n_tokens,
-    CASE WHEN length(txt) > 0
-         THEN length(regexp_replace(txt, '[^A-Za-z]', '', 'g'))::DOUBLE / length(txt)
-         ELSE 0.0 END AS alpha_ratio,
-    CASE WHEN coalesce(len(t), 0) > 0
-         THEN len(list_filter(t, x -> list_contains({_STOPLIST}, x)))::DOUBLE / len(t)
-         ELSE 0.0 END AS stop_ratio
-  FROM tokd
-),
-base AS (
-  SELECT doc_id, round(least(n_tokens / 20.0, 1.0) * 0.4 + alpha_ratio * 0.4
-                       + least(stop_ratio * 5.0, 1.0) * 0.2, 6) AS quality
-  FROM m
-),
-qd AS (SELECT b.quality, d.source FROM base b JOIN documents d USING (doc_id)),
+    round(least(coalesce(len(t), 0) / 20.0, 1.0) * 0.4
+      + (CASE WHEN length(txt) > 0
+              THEN length(regexp_replace(txt, '[^A-Za-z]', '', 'g'))::DOUBLE / length(txt)
+              ELSE 0.0 END) * 0.4
+      + least((CASE WHEN coalesce(len(t), 0) > 0
+                    THEN len(list_filter(t, x -> list_contains({_STOPLIST}, x)))::DOUBLE / len(t)
+                    ELSE 0.0 END) * 5.0, 1.0) * 0.2, 6) AS quality
+  FROM qtok
+)"""
+
+
+SQL_QUALITY_QUANTILES = f"""WITH {_QUALITY_CTE},
+qd AS (SELECT b.quality, d.source FROM qbase b JOIN documents d USING (doc_id)),
 agg AS (SELECT source,
         quantile_cont(quality, [{', '.join(str(p) for p in _QUANTILE_PROBS)}]) AS qs
         FROM qd GROUP BY 1)
@@ -2032,21 +2032,7 @@ FROM documents d JOIN fr USING (source)
 WHERE {_DUCK_BUCKET.format(salt='mix-v1')} < floor(f * 10000)::BIGINT"""
 
 
-# quality formula as reusable CTE pieces (same arithmetic as SQL_QUALITY)
-_QUALITY_CTE = f"""qtok AS (
-  SELECT d.doc_id, {_TOKS_TEXT} AS t, coalesce(d.text, '') AS txt FROM documents d
-),
-qbase AS (
-  SELECT doc_id,
-    round(least(coalesce(len(t), 0) / 20.0, 1.0) * 0.4
-      + (CASE WHEN length(txt) > 0
-              THEN length(regexp_replace(txt, '[^A-Za-z]', '', 'g'))::DOUBLE / length(txt)
-              ELSE 0.0 END) * 0.4
-      + least((CASE WHEN coalesce(len(t), 0) > 0
-                    THEN len(list_filter(t, x -> list_contains({_STOPLIST}, x)))::DOUBLE / len(t)
-                    ELSE 0.0 END) * 5.0, 1.0) * 0.2, 6) AS quality
-  FROM qtok
-)"""
+
 
 
 def q_quality_weighted_sample(spark, sf_dir):
@@ -2254,16 +2240,11 @@ def q_clean_corpus(spark, sf_dir):
 
 
 def _clean_corpus_sql() -> str:
-    L = _SPAN_LEN
     return f"""WITH kf AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
 qual AS (SELECT doc_id, quality FROM ({SQL_QUALITY})),
 lang AS (SELECT doc_id, lang_pred FROM ({SQL_LANG_ID})),
 dd AS (SELECT d.doc_id, d.text FROM documents d JOIN kf USING (doc_id)),
-tokd2 AS (SELECT doc_id, {_TOKS_TEXT} AS t FROM dd),
-spans2 AS (
-  SELECT doc_id, md5(array_to_string(list_slice(t, i, i + {L - 1}), ' ')) AS span_md5
-  FROM tokd2, unnest(range(1, greatest(len(t) - {L - 1}, 0) + 1)) AS u(i)
-),
+{_span_cte(source="dd", suffix="2")},
 dups2 AS (SELECT span_md5 FROM spans2 GROUP BY 1
           HAVING count(DISTINCT doc_id) > 1),
 sp AS (
