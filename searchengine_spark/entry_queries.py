@@ -2292,54 +2292,133 @@ SELECT source, count(DISTINCT term)::BIGINT AS n_distinct
 FROM toks GROUP BY 1"""
 
 
+_FACET_QUERY = "spark join fast"
+_FACET_K = 100
+
+
+def q_facet_counts(spark, sf_dir, query: str = _FACET_QUERY,
+                   field: str = "source", k: int = _FACET_K):
+    """Facet counts over the top-k result set — the serving-path facet agg
+    (engine.py Engine.search_facets / serve.py ``/facets``): run the
+    query, join the k-row hit set onto the doc store, count per value of
+    ``field``. Same composition as the engine (broadcast k-row hits, the
+    search does the heavy lifting), with the exhaustive scorer standing
+    in for the loaded index so the gate needs no persisted segments."""
+    docs, _, tf_table, stats, scalars = _index_parts(spark, sf_dir)
+    hits = (
+        score_all(tf_table, stats, scalars, query, mode="bm25")
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id")
+    )
+    return (
+        docs.join(F.broadcast(hits), "doc_id")
+        .groupBy(F.col(field).alias("value"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("value"))
+    )
+
+
+def _facet_counts_sql(query: str = _FACET_QUERY, field: str = "source",
+                      k: int = _FACET_K) -> str:
+    return f"""WITH top AS (
+  SELECT doc_id FROM ({_bm25_topk_sql(query, k)})
+)
+SELECT d.{field} AS value, count(*)::BIGINT AS n
+FROM documents d JOIN top USING (doc_id)
+GROUP BY 1 ORDER BY n DESC, value ASC"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver's correctness gate checks a PREFIX of this
+    # dict (50 names in round 2), so never-yet-driver-attested and
+    # just-modified operators come FIRST; names already green in
+    # CORRECTNESS_r02.json sit past the window (all still verifiable any
+    # time with tools/check_entry.py).
     return {
-        # core inverted-index engine
+        # round-2 flagship operators (locally gate-verified, never in a
+        # driver CORRECTNESS record) + new this round
+        "phrase_topk": q_phrase_topk,
+        "near_topk": q_near_topk,
+        "span_dups": q_span_dups,
+        "span_dup_flags": q_span_dup_flags,
+        "prf_topk": q_prf_topk,
+        "pq_topk": q_pq_topk,
+        "more_like_this": q_more_like_this,
+        "clean_corpus": q_clean_corpus,
+        "hybrid_rrf_topk": q_hybrid_rrf,
+        "asof_enrich": q_asof_enrich,
+        "event_bigrams": q_event_bigrams,
+        "boolean_topk": q_boolean_topk,
+        "search_snippets": q_search_snippets,
+        "doc_keywords": q_doc_keywords,
+        "suggest_prefix": q_suggest_prefix,
+        "did_you_mean": q_did_you_mean,
+        "facet_counts": q_facet_counts,
+        "quality_quantiles": q_quality_quantiles,
+        "source_mix": q_source_mix,
+        "source_term_cardinality": q_source_term_cardinality,
+        "pii_scan": q_pii_scan,
+        "source_divergence": q_source_divergence,
+        "quality_score": q_quality,
+        "token_counts": q_token_counts,
+        "doc_fingerprint": q_fingerprint,
+        "payload_meta": q_payload_meta,
+        "media_features": q_media_features,
+        "media_decode": q_media_decode,
+        "media_resize": q_media_resize,
+        "video_frame_sample": q_video_frame_sample,
+        "windowed_counts": q_windowed_counts,
+        "sessionized_counts": q_sessionized_counts,
+        "sessionized_counts_bucketed": q_sessionized_counts_bucketed,
+        "user_top_events": q_user_top_events,
+        "event_props_stats": q_event_props_stats,
+        # core engine re-attestation (first four touched this round:
+        # tombstone bitmap, parallel term-WAND, shingle-df cap, CC alarm)
+        "wand_topk_deletes": q_wand_topk_deletes,
+        "wand_term_topk": q_wand_term_topk,
+        "ngram_jaccard_pairs": q_ngram_jaccard,
+        "dedup_components": q_dedup_components,
         "term_stats": q_term_stats,
-        "doc_lengths": q_doc_lengths,
         "corpus_scalars": q_corpus_scalars,
         "tf_postings": q_tf_postings,
         "bm25_topk_multi": _bm25_topk("spark join fast", 10),
+        "wand_topk": _wand_topk("spark join fast", 10),
+        "reference_topk": _reference_topk("spark join", 10, 1000),
+        "fielded_reference_topk": q_fielded_reference_topk,
+        "segment_roundtrip": q_segment_roundtrip,
+        "merge_segments_roundtrip": q_merge_roundtrip,
+        "minhash_dedup_pairs": q_minhash_dedup_pairs,
+        "ann_topk": q_ann_topk,
+        # driver-attested green in CORRECTNESS_r02.json — past the window
+        "doc_lengths": q_doc_lengths,
         "bm25_topk_rare": _bm25_topk("dup", 10),
         "bm25_topk_dupterms": _bm25_topk("the the data", 10),
         "bm25_page2": q_bm25_page2,
-        "reference_topk": _reference_topk("spark join", 10, 1000),
         "reference_topk_capped": _reference_topk("spark join", 10, 50),
-        "wand_topk": _wand_topk("spark join fast", 10),
-        "wand_topk_deletes": q_wand_topk_deletes,
-        "wand_term_topk": q_wand_term_topk,
-        "segment_roundtrip": q_segment_roundtrip,
-        "merge_segments_roundtrip": q_merge_roundtrip,
         "fielded_topk": q_fielded_topk,
-        "fielded_reference_topk": q_fielded_reference_topk,
         "batch_topk": q_batch_topk,
         "batch_wand_topk": q_batch_wand_topk,
         "doc_id_rank": q_doc_id_rank,
-        # dedup
         "dedup_exact": q_dedup_exact,
-        "ngram_jaccard_pairs": q_ngram_jaccard,
-        "dedup_components": q_dedup_components,
         "dedup_keep_best": q_dedup_keep_best,
         "quality_weighted_sample": q_quality_weighted_sample,
         "split_contamination": q_split_contamination,
         "dedup_keep_first": q_dedup_keep_first,
         "pack_bins": q_pack_bins,
         "minhash_signatures": q_minhash_signatures,
-        "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "lsh_candidate_pairs": q_lsh_candidates,
         "simhash32": q_simhash,
         "simhash_pairs": q_simhash_pairs,
-        # similarity
         "cosine_topk": q_cosine_topk,
-        "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "embedding_dup_components": q_embedding_dup_components,
-        # text analysis
         "lang_id": q_lang_id,
         "split_assign": q_split_assign,
         "turn_context": q_turn_context,
@@ -2352,48 +2431,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_logprob": q_doc_logprob,
         "doc_bigram_logprob": q_doc_bigram_logprob,
         "repetition_stats": q_repetition_stats,
-        "pii_scan": q_pii_scan,
-        "source_divergence": q_source_divergence,
-        "quality_score": q_quality,
-        "token_counts": q_token_counts,
-        "doc_fingerprint": q_fingerprint,
-        # multimodal plumbing
-        "payload_meta": q_payload_meta,
-        "media_features": q_media_features,
-        "media_decode": q_media_decode,
-        "media_resize": q_media_resize,
-        "video_frame_sample": q_video_frame_sample,
-        # streaming (batch twin of the watermarked windowed agg)
-        "windowed_counts": q_windowed_counts,
-        "boolean_topk": q_boolean_topk,
-        "phrase_topk": q_phrase_topk,
-        "near_topk": q_near_topk,
-        "search_snippets": q_search_snippets,
-        "doc_keywords": q_doc_keywords,
-        "suggest_prefix": q_suggest_prefix,
-        "did_you_mean": q_did_you_mean,
-        "sessionized_counts": q_sessionized_counts,
-        "sessionized_counts_bucketed": q_sessionized_counts_bucketed,
-        "user_top_events": q_user_top_events,
-        "event_props_stats": q_event_props_stats,
-        # substring dedup / temporal / hybrid / profiling
-        "span_dups": q_span_dups,
-        "span_dup_flags": q_span_dup_flags,
-        "asof_enrich": q_asof_enrich,
-        "event_bigrams": q_event_bigrams,
-        "hybrid_rrf_topk": q_hybrid_rrf,
-        "quality_quantiles": q_quality_quantiles,
-        "source_mix": q_source_mix,
-        "source_term_cardinality": q_source_term_cardinality,
-        "pq_topk": q_pq_topk,
-        "clean_corpus": q_clean_corpus,
-        "prf_topk": q_prf_topk,
-        "more_like_this": q_more_like_this,
     }
 
 
 def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     return {
+        "facet_counts": _facet_counts_sql(),
         "term_stats": SQL_TERM_STATS,
         "doc_lengths": SQL_DOC_LENGTHS,
         "corpus_scalars": SQL_CORPUS_SCALARS,
