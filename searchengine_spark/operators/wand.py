@@ -35,12 +35,33 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from searchengine_spark.functions.bitmap import DocIdBitmap
 from searchengine_spark.functions.scoring import B as BM25_B
 from searchengine_spark.functions.scoring import K1 as BM25_K1
 from searchengine_spark.functions.tokenize import tokenize_py
 from searchengine_spark.operators.segments import BLOCK, decode_payload, idf_np
 
 _EPS = 1e-12
+
+
+def _exclude_broadcast(spark, exclude):
+    """Normalize a tombstone set (set/frozenset/iterable, DataFrame of
+    ids, or prebuilt DocIdBitmap) into a broadcast DocIdBitmap.
+
+    The UDF closure then carries only the tiny Broadcast handle; the
+    bitmap itself ships once per executor via the broadcast mechanism —
+    never a corpus-sized Python object pickled into every task."""
+    if exclude is None:
+        return None
+    if isinstance(exclude, DocIdBitmap):
+        bm = exclude
+    elif isinstance(exclude, DataFrame):
+        bm = DocIdBitmap.from_dataframe(exclude)
+    else:
+        bm = DocIdBitmap(exclude)
+    if not bm:
+        return None
+    return spark.sparkContext.broadcast(bm)
 
 _TOPK_SCHEMA = T.StructType(
     [
@@ -62,6 +83,29 @@ class _Postings:
         self.docs = self.docs.astype(np.int64)
         self.bmax = row.block_max_core
         self.n = int(row.n)
+
+    @classmethod
+    def from_arrays(cls, term: str, docs: np.ndarray, tfs: np.ndarray,
+                    dls: np.ndarray, avgdl: float) -> "_Postings":
+        """Build from already-decoded arrays (the doc-range re-split of
+        the term layout), recomputing block maxes on the slice with the
+        same idf-free core the encoder uses (segments.bm25_core_np) —
+        maxima over a sub-slice are still admissible upper bounds."""
+        from searchengine_spark.operators.segments import bm25_core_np
+
+        p = object.__new__(cls)
+        p.term = term
+        p.docs = docs.astype(np.int64)
+        p.tfs = tfs
+        p.dls = dls
+        p.n = int(len(docs))
+        if p.n:
+            core = bm25_core_np(tfs.astype(np.float64),
+                                dls.astype(np.float64), avgdl)
+            p.bmax = np.maximum.reduceat(core, np.arange(0, p.n, BLOCK))
+        else:
+            p.bmax = np.zeros(0, dtype=np.float64)
+        return p
 
 
 class _Cursor:
@@ -202,7 +246,7 @@ def wand_topk(
     n_docs: int,
     avgdl: float,
     k: int = 10,
-    exclude: set | frozenset | None = None,
+    exclude: set | frozenset | DataFrame | DocIdBitmap | None = None,
 ) -> DataFrame:
     """Top-k BM25 over doc-sharded segments with block-max WAND pruning.
 
@@ -211,10 +255,11 @@ def wand_topk(
     TakeOrderedAndProject over <= shards*k rows.
 
     ``exclude``: tombstoned GLOBAL doc_ids masked inside the kernel
-    before scoring (operators/deletes.py; a driver-sized set rides the
-    UDF closure — at cluster scale ship a bitmap/Bloom broadcast).
+    before scoring (operators/deletes.py) — a set/iterable, a DataFrame
+    of ids, or a prebuilt DocIdBitmap; always shipped as a broadcast
+    packed bitmap (functions/bitmap.py), never in the task closure.
     """
-    exclude = frozenset(int(d) for d in exclude) if exclude else None
+    bcast = _exclude_broadcast(doc_segments.sparkSession, exclude)
     qf_map = query_qf(query)
     if not qf_map:
         spark = doc_segments.sparkSession
@@ -234,7 +279,7 @@ def wand_topk(
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         postings = [_Postings(r) for r in pdf.itertuples(index=False)]
         top = _wand_shard(postings, qf_map, idf_map, avgdl, k,
-                          exclude=exclude)
+                          exclude=bcast.value if bcast else None)
         if not top:
             return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                  "score": pd.Series([], dtype="float64")})
@@ -246,6 +291,17 @@ def wand_topk(
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+_SPLIT_SCHEMA = T.StructType(
+    [
+        T.StructField("g", T.IntegerType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("docs", T.ArrayType(T.LongType()), False),
+        T.StructField("tfs", T.ArrayType(T.LongType()), False),
+        T.StructField("dls", T.ArrayType(T.LongType()), False),
+    ]
+)
+
+
 def wand_topk_terms(
     term_segments: DataFrame,
     query: str,
@@ -253,23 +309,33 @@ def wand_topk_terms(
     n_docs: int,
     avgdl: float,
     k: int = 10,
-    exclude: set | frozenset | None = None,
+    exclude: set | frozenset | DataFrame | DocIdBitmap | None = None,
+    n_groups: int | None = None,
 ) -> DataFrame:
     """Top-k BM25 over the TERM-partitioned layout (the merged /
     incremental index, operators/merge.py) with block-max WAND.
 
     Term partitioning co-locates each posting list whole, so a query
     touches exactly its terms' (term, salt) rows — a partition-pruned
-    scan of a handful of rows — and WAND runs in ONE grouped-map task
-    over them. Salted rows of a hot term are doc-disjoint slices, so one
-    cursor per row double-counts nothing; the kernel's pivot logic is
-    unchanged (it only needs doc-sorted cursors). This is the classic
-    term-partitioned query model: per-query work is O(query postings),
-    independent of corpus shard count; its known weakness (one task per
-    query) is exactly why the doc-sharded layout stays the serving path
-    and this one serves the merged index without re-sharding it.
+    scan of a handful of rows. Running WAND over them in one grouped-map
+    task (round 2's shape) put a single-task ceiling on every query, so
+    the plan now re-shards BY DOC RANGE first:
+
+      matched rows -> mapInPandas decode + searchsorted split into
+      ``n_groups`` contiguous doc ranges (docs are delta-encoded sorted,
+      so a split is two array slices) -> groupBy(range).applyInPandas
+      full WAND per range -> k-merge.
+
+    Every range group holds ALL query terms' postings for a disjoint doc
+    slice (exactly the doc-sharded invariant), so per-group WAND top-k +
+    global k-merge is rank-identical to the one-task run; block maxes
+    are recomputed per slice (still admissible). Cost: one extra shuffle
+    of the QUERY terms' postings only — never the corpus — in exchange
+    for grouped-stage parallelism that scales with cluster width.
+    Salted rows of a hot term are doc-disjoint slices, so one cursor per
+    (row x range) double-counts nothing.
     """
-    exclude = frozenset(int(d) for d in exclude) if exclude else None
+    bcast = _exclude_broadcast(term_segments.sparkSession, exclude)
     qf_map = query_qf(query)
     spark = term_segments.sparkSession
     if not qf_map:
@@ -284,10 +350,57 @@ def wand_topk_terms(
         return spark.createDataFrame([], _TOPK_SCHEMA)
     matched = term_segments.filter(F.col("term").isin(list(idf_map)))
 
+    if n_groups is None:
+        n_groups = max(
+            1, min(int(spark.conf.get("spark.sql.shuffle.partitions",
+                                      "32")), 32))
+    range_size = max(1, -(-int(n_docs) // int(n_groups)))
+
+    def split(batches):
+        for pdf in batches:
+            g_out: list[int] = []
+            t_out: list[str] = []
+            d_out: list[list[int]] = []
+            f_out: list[list[int]] = []
+            l_out: list[list[int]] = []
+            for r in pdf.itertuples(index=False):
+                docs, tfs, dls = decode_payload(r)
+                if docs.size == 0:
+                    continue
+                docs = docs.astype(np.int64)
+                gs = docs // range_size
+                cuts = np.flatnonzero(np.diff(gs)) + 1
+                starts = np.concatenate(([0], cuts))
+                ends = np.concatenate((cuts, [docs.size]))
+                for s, e in zip(starts, ends):
+                    g_out.append(int(gs[s]))
+                    t_out.append(r.term)
+                    d_out.append(docs[s:e].tolist())
+                    f_out.append(tfs[s:e].tolist())
+                    l_out.append(dls[s:e].tolist())
+            yield pd.DataFrame(
+                {"g": pd.Series(g_out, dtype="int32"),
+                 "term": pd.Series(t_out, dtype="object"),
+                 "docs": pd.Series(d_out, dtype="object"),
+                 "tfs": pd.Series(f_out, dtype="object"),
+                 "dls": pd.Series(l_out, dtype="object")}
+            )
+
+    parts = matched.mapInPandas(split, _SPLIT_SCHEMA)
+
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        postings = [_Postings(r) for r in pdf.itertuples(index=False)]
+        postings = [
+            _Postings.from_arrays(
+                r.term,
+                np.asarray(r.docs, dtype=np.int64),
+                np.asarray(r.tfs, dtype=np.int64),
+                np.asarray(r.dls, dtype=np.int64),
+                avgdl,
+            )
+            for r in pdf.itertuples(index=False)
+        ]
         top = _wand_shard(postings, qf_map, idf_map, avgdl, k,
-                          exclude=exclude)
+                          exclude=bcast.value if bcast else None)
         if not top:
             return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                  "score": pd.Series([], dtype="float64")})
@@ -295,9 +408,7 @@ def wand_topk_terms(
             {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
         )
 
-    local = matched.groupBy(F.lit(0).alias("_g")).applyInPandas(
-        run, _TOPK_SCHEMA
-    )
+    local = parts.groupBy("g").applyInPandas(run, _TOPK_SCHEMA)
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
@@ -373,14 +484,14 @@ def wand_topk_batch(
     n_docs: int,
     avgdl: float,
     k: int = 10,
-    exclude: set | frozenset | None = None,
+    exclude: set | frozenset | DataFrame | DocIdBitmap | None = None,
 ) -> DataFrame:
     """Many queries in one pass: per shard, posting lists are decoded ONCE
     and every query runs block-max WAND over the shared decoded lists ->
     (query_id, rank, doc_id, score). One segment scan + one shuffle-free
     grouped map for the whole query batch — the throughput path (the
     reference serves one query per HTTP request; Engine.cs:45-95)."""
-    exclude = frozenset(int(d) for d in exclude) if exclude else None
+    bcast = _exclude_broadcast(doc_segments.sparkSession, exclude)
     qf_maps = {int(qid): query_qf(q) for qid, q in queries}
     all_terms = sorted({t for m in qf_maps.values() for t in m})
     if not all_terms:
@@ -402,7 +513,7 @@ def wand_topk_batch(
             if not qf_known:
                 continue
             for d, s in _wand_shard(postings, qf_known, idf_map, avgdl, k,
-                                    exclude=exclude):
+                                    exclude=bcast.value if bcast else None):
                 qids.append(qid)
                 docs.append(d)
                 scores.append(s)

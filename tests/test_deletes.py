@@ -220,3 +220,79 @@ def test_purge_covers_every_layout(spark, small, tmp_path_factory):
     assert _ranked(eng.search(QUERY, k=10, mode="term")) == masked_term
     assert _ranked(eng.search_phrase(phrase, k=10)) == masked_phrase
     assert not set(dead) & {d for d, _ in masked_term}
+
+
+# -- broadcast tombstone bitmap (functions/bitmap.py) -------------------------
+
+def test_bitmap_membership_and_mask():
+    import numpy as np
+
+    from searchengine_spark.functions.bitmap import DocIdBitmap
+
+    bm = DocIdBitmap([5, 7, 64, 65, 1000])
+    assert len(bm) == 5 and bm
+    assert all(d in bm for d in (5, 7, 64, 65, 1000))
+    assert all(d not in bm for d in (0, 4, 6, 63, 66, 999, 1001, -3))
+    got = bm.mask(np.array([4, 5, 6, 64, 2000, -1]))
+    assert got.tolist() == [False, True, False, True, False, False]
+    empty = DocIdBitmap([])
+    assert not empty and len(empty) == 0 and 5 not in empty
+
+    # sparse id spaces must refuse the dense allocation loudly
+    with pytest.raises(ValueError, match="span"):
+        DocIdBitmap([0, 1 << 40])
+
+
+def test_wand_exclude_forms_identical(eng, spark):
+    """set, DataFrame-of-ids, and prebuilt DocIdBitmap excludes must all
+    produce the identical masked ranking (wand.py normalizes every form
+    into one broadcast bitmap — nothing corpus-sized rides the closure)."""
+    from searchengine_spark.functions.bitmap import DocIdBitmap
+    from searchengine_spark.operators.wand import (
+        _exclude_broadcast,
+        wand_topk,
+    )
+
+    dead = _victims(eng)
+    base = wand_topk(eng.doc_segments, QUERY, eng.term_stats,
+                     eng.scalars.n_docs, eng.scalars.avgdl, k=10,
+                     exclude=set(dead))
+    want = _ranked(base)
+    assert want and not set(dead) & {d for d, _ in want}
+
+    dead_df = spark.createDataFrame([(int(d),) for d in dead],
+                                    "doc_id long")
+    for form in (frozenset(dead), dead_df, DocIdBitmap(dead)):
+        got = _ranked(wand_topk(eng.doc_segments, QUERY, eng.term_stats,
+                                eng.scalars.n_docs, eng.scalars.avgdl,
+                                k=10, exclude=form))
+        assert got == want
+
+    # the normalized object is a Broadcast of a DocIdBitmap
+    b = _exclude_broadcast(spark, frozenset(dead))
+    assert isinstance(b.value, DocIdBitmap)
+    assert _exclude_broadcast(spark, None) is None
+    assert _exclude_broadcast(spark, set()) is None
+
+
+def test_wand_exclude_100k_tombstones(eng):
+    """A delete set far larger than the corpus (~10^5 ids) ships as a
+    packed broadcast bitmap measured in KB, and WAND stays rank-identical
+    to the exhaustive path under the same mask."""
+    from searchengine_spark.functions.bitmap import DocIdBitmap
+    from searchengine_spark.operators.wand import wand_topk
+
+    n_docs = eng.scalars.n_docs
+    in_corpus = _victims(eng)
+    # every 3rd id across [0, 3e5): ~1e5 tombstones, mostly past the corpus
+    ids = list(range(0, 300_000, 3)) + list(in_corpus)
+    bm = DocIdBitmap(ids)
+    assert len(bm) >= 100_000
+    assert bm.nbytes() <= 64 * 1024  # packed: 300k-bit span = ~37 KB
+
+    got = _ranked(wand_topk(eng.doc_segments, QUERY, eng.term_stats,
+                            n_docs, eng.scalars.avgdl, k=10, exclude=bm))
+    eng.delete_docs([d for d in ids if d < n_docs])
+    exh = _ranked(eng.search(QUERY, k=10, mode="exhaustive"))
+    assert got == exh and got
+    assert not {d for d, _ in got} & set(ids)

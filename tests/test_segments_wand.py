@@ -315,3 +315,43 @@ def test_wand_topk_terms_matches_exhaustive(spark, small):
                                    k=40, exclude=dead))
     want = [e for e in exh if e[0] not in dead]
     assert got_m[: len(want)] == want and got_m
+
+
+def test_wand_topk_terms_parallel_groups(spark, small):
+    """The term-layout WAND re-shards query postings by doc range, so the
+    grouped stage runs one task PER RANGE (round 2 ran the whole query in
+    one groupBy(lit(0)) task). Rankings must be identical at any group
+    count, and the plan must show a real hash exchange on the range key."""
+    import contextlib
+    import io
+
+    from searchengine_spark.build import build_index
+    from searchengine_spark.operators.topk import score_topk
+    from searchengine_spark.operators.wand import wand_topk_terms
+
+    idx = build_index(small, df_target=64, layouts=("term",))
+    q = "bababa zumuqi"
+
+    def ranked(df, k=40):
+        return [(int(r.doc_id), round(float(r.score), 9)) for r in
+                df.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+                .collect()]
+
+    exh = ranked(score_topk(idx.tf_table, idx.term_stats, idx.scalars,
+                            q, k=40))
+    by_groups = {}
+    for n_groups in (1, 4, 16):
+        df = wand_topk_terms(idx.term_segments, q, idx.term_stats,
+                             idx.scalars.n_docs, idx.scalars.avgdl,
+                             k=40, n_groups=n_groups)
+        by_groups[n_groups] = ranked(df)
+        assert by_groups[n_groups] == exh
+    # plan: the grouped stage is keyed by the doc-range column, not lit(0)
+    df = wand_topk_terms(idx.term_segments, q, idx.term_stats,
+                         idx.scalars.n_docs, idx.scalars.avgdl,
+                         k=40, n_groups=8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    plan = buf.getvalue()
+    assert "hashpartitioning(g" in plan
