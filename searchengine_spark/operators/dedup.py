@@ -52,13 +52,33 @@ def shingles_expr(tokens_col: str = "tokens", k: int = SHINGLE_K) -> F.Column:
     )
 
 
-def doc_shingles(docs: DataFrame, id_col: str = "doc_id", k: int = SHINGLE_K) -> DataFrame:
-    """docs(id, text) -> distinct (id, shingle)."""
-    return (
+def doc_shingles(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = SHINGLE_K,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """docs(id, text) -> distinct (id, shingle).
+
+    ``max_shingle_df`` drops boilerplate shingles appearing in more than
+    that many docs (same guard as decontam.cross_split_contamination): a
+    shingle shared by m docs makes an m^2 bucket in any shingle join, so
+    on a raw corpus a single boilerplate phrase (license header, nav
+    text) otherwise quadratically blows up the pair space."""
+    sh = (
         with_tokens(docs)
         .select(id_col, F.explode(shingles_expr(k=k)).alias("shingle"))
         .distinct()
     )
+    if max_shingle_df is not None:
+        common = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(common, "shingle", "left_anti")
+    return sh
 
 
 # -- exact ------------------------------------------------------------------
@@ -79,13 +99,18 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     k: int = SHINGLE_K,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """-> (id_a, id_b, jaccard) for pairs with Jaccard(shingle sets) >= τ.
 
     Inverted-index join: pairs only materialize for docs sharing a shingle.
-    At 100 TB this runs on LSH candidates, not the full corpus.
+    At 100 TB this runs on LSH candidates, not the full corpus — and with
+    ``max_shingle_df`` set, boilerplate shingles (df > cap) are excluded
+    from BOTH the join and the per-doc set sizes, so Jaccard is computed
+    over the non-boilerplate shingle sets and the worst-case bucket is
+    capped at max_shingle_df^2 instead of (docs sharing one phrase)^2.
     """
-    sh = doc_shingles(docs, id_col, k).cache()
+    sh = doc_shingles(docs, id_col, k, max_shingle_df=max_shingle_df).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -428,6 +453,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 25,
+    on_budget: str = "raise",
 ) -> DataFrame:
     """(doc_id, component) for every doc appearing in ``pairs``;
     component = min doc_id reachable through the pair graph. The last
@@ -442,7 +468,19 @@ def connected_components(
     web-graph-shaped inputs. ``localCheckpoint`` caps lineage growth so
     the plan does not deepen with each round; the convergence probe is a
     count on the CHANGED set only (empty at fixpoint).
+
+    Iteration-budget alarm: the diameter bound is an ASSUMPTION, and a
+    pathological dup chain (a path graph — e.g. a sliding-window crawl
+    where each page near-dups only its neighbors) needs diameter rounds.
+    Exhausting ``max_iters`` without convergence therefore degrades
+    LOUDLY: ``on_budget="raise"`` (default) raises RuntimeError — wrong
+    cluster labels must never flow silently into keep/drop decisions —
+    while ``on_budget="warn"`` emits a warning and returns the partial
+    labels (every returned component is a superset-split of the true
+    one: labels only ever decrease toward the true minimum).
     """
+    if on_budget not in ("raise", "warn"):
+        raise ValueError(f"on_budget must be 'raise' or 'warn', got {on_budget!r}")
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
         fwd.union(fwd.select(F.col("dst").alias("src"),
@@ -455,6 +493,7 @@ def connected_components(
         .withColumn("label", F.col("src"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iters):
         nbr = (
             edges.join(labels.withColumnRenamed("src", "dst"), "dst")
@@ -475,8 +514,19 @@ def connected_components(
         )
         labels = new
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        msg = (f"connected_components did not converge within "
+               f"max_iters={max_iters}: the dup graph's diameter exceeds "
+               f"the budget (path-graph-shaped chain?). Raise max_iters "
+               f"or switch to a log-diameter method for this input.")
+        if on_budget == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select(F.col("src").alias("doc_id"),
                          F.col("label").alias("component"))
 

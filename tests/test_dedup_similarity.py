@@ -339,3 +339,67 @@ def test_pq_topk_default_config_matches_brute_force_on_driver_corpus(spark):
     pq = [tuple(r) for r in similarity.pq_topk(emb, q, k=10).collect()]
     brute = [tuple(r) for r in similarity.cosine_topk(emb, q, k=10).collect()]
     assert pq == brute
+
+
+def test_ngram_jaccard_boilerplate_cap(spark):
+    """A single boilerplate phrase shared by every doc makes an m^2
+    shingle bucket on a raw corpus; max_shingle_df drops it from BOTH the
+    join and the per-doc set sizes, so only genuine near-dups pair up."""
+    import string
+
+    from searchengine_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "all rights reserved by the foo corporation"
+    rows = []
+    for i in range(40):
+        a, b = string.ascii_lowercase[i // 26], string.ascii_lowercase[i % 26]
+        uniq = f"zq{a}{b}x wq{a}{b}y vq{a}{b}z rq{a}{b}w"
+        rows.append((i, f"{boiler} {uniq}"))
+    # plant one genuine near-dup pair: same unique tail as doc 0
+    rows.append((40, rows[0][1] + " extra"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # uncapped: the boilerplate bucket pairs every doc with every other
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.01).count()
+    assert uncapped >= 41 * 40 / 2  # full blow-up: all C(41,2) pairs
+
+    # capped: boilerplate shingles (df=41 > 5) leave the join; only the
+    # planted pair shares non-boilerplate shingles
+    capped = ngram_jaccard_pairs(docs, threshold=0.01,
+                                 max_shingle_df=5).collect()
+    assert [(int(r.id_a), int(r.id_b)) for r in capped] == [(0, 40)]
+    # and its jaccard is over the NON-boilerplate sets only
+    assert 0 < capped[0].jaccard <= 1.0
+
+
+def test_connected_components_path_graph_budget_alarm(spark):
+    """Worst-case dup chain: a path graph needs diameter rounds. Blowing
+    the iteration budget must degrade loudly (raise by default / warn on
+    request with monotone partial labels), never return wrong clusters
+    silently."""
+    import warnings
+
+    from searchengine_spark.operators.dedup import connected_components
+
+    n = 12  # path 0-1-2-...-11, diameter 11
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iters=3)
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        partial = connected_components(pairs, max_iters=3,
+                                       on_budget="warn").collect()
+    assert any("did not converge" in str(w.message) for w in caught)
+    # partial labels are monotone upper phases: each node's label is a
+    # node id on its path toward 0, never an unrelated component
+    assert all(0 <= int(r.component) <= int(r.doc_id) for r in partial)
+
+    done = connected_components(pairs, max_iters=n + 2).collect()
+    assert {int(r.component) for r in done} == {0}
+    assert len(done) == n
+
+    with pytest.raises(ValueError, match="on_budget"):
+        connected_components(pairs, on_budget="explode")
