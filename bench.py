@@ -837,6 +837,122 @@ def _materialized_index(docs):
     return idx
 
 
+def ann_scale_bench(spark) -> tuple[dict, dict]:
+    """ANN recall evidence at 10x the sf0.1 embedding count ("sf1"):
+    20k deterministic clustered vectors (200 Gaussian clusters — realistic
+    embedding geometry, unlike sf0.1's near-random vectors), LSH/IVF
+    recall@10 over 8 probes against a numpy exact-cosine oracle, and the
+    PQ gate config's rank-identity checked against Spark brute force.
+    Recorded so recall at scale is a measured number per round, not an
+    extrapolation from 2k vectors."""
+    import numpy as np
+
+    from searchengine_spark.operators import similarity
+
+    timings: dict[str, float] = {}
+    rng = np.random.default_rng(7)
+    n, dim, n_clusters = 20_000, 64, 200
+    centers = rng.normal(size=(n_clusters, dim))
+    assign = rng.integers(0, n_clusters, size=n)
+    X = (centers[assign] + 0.15 * rng.normal(size=(n, dim))).astype(
+        np.float32)
+    emb = spark.createDataFrame(
+        ((int(i), [float(v) for v in X[i]], int(assign[i]))
+         for i in range(n)),
+        "vec_id long, embedding array<float>, label int",
+    ).repartition(16).persist()
+    emb.count()
+
+    # exact oracle on the identical float32 values
+    Xn = X.astype(np.float64)
+    Xn /= np.maximum(np.linalg.norm(Xn, axis=1, keepdims=True), 1e-12)
+    probes = [int(p) for p in rng.integers(0, n, size=8)]
+
+    def exact_top10(p: int) -> set[int]:
+        cos = Xn @ Xn[p]
+        # same tie-break as the operators: cos desc, vec_id asc
+        order = np.lexsort((np.arange(n), -np.round(cos, 6)))
+        return {int(i) for i in order[:10]}
+
+    t0 = time.perf_counter()
+    sigs = similarity.lsh_signatures(emb, dim=dim, n_planes=16, seed=42,
+                                     keep_vec=True).persist()
+    sigs.count()
+    timings["ann_index_build_sf1"] = round(time.perf_counter() - t0, 3)
+
+    lsh_recalls, ivf_recalls = [], []
+    t0 = time.perf_counter()
+    for p in probes:
+        qvec = [float(v) for v in X[p]]
+        got = {int(r["vec_id"]) for r in similarity.ann_topk(
+            emb, qvec, k=10, n_planes=16, n_bands=8, seed=42,
+            signatures=sigs).collect()}
+        lsh_recalls.append(len(got & exact_top10(p)) / 10)
+    timings["ann_topk_sf1"] = round(
+        (time.perf_counter() - t0) / len(probes), 3)
+    sigs.unpersist()
+
+    t0 = time.perf_counter()
+    cents = similarity.ivf_centroids(emb, 64, 4096)
+    ivf_idx = similarity.ivf_assign(emb, cents, "vec_id", "embedding",
+                                    keep_vec=True).persist()
+    ivf_idx.count()
+    timings["ivf_index_build_sf1"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    for p in probes:
+        qvec = [float(v) for v in X[p]]
+        got = {int(r["vec_id"]) for r in similarity.ivf_topk(
+            emb, qvec, k=10, n_centroids=64, nprobe=8,
+            index=ivf_idx, centroids=cents).collect()}
+        ivf_recalls.append(len(got & exact_top10(p)) / 10)
+    timings["ivf_topk_sf1"] = round(
+        (time.perf_counter() - t0) / len(probes), 3)
+    ivf_idx.unpersist()
+
+    # PQ: the sf0.01-gate config (ncand=100 = 5% of 2k) does NOT keep
+    # rank-identity at 20k (measured recall 0.83) — the ADC candidate
+    # pool must scale with n. Record the fixed config's recall AND the
+    # scaled config's identity (ncand = 2% of n, measured identical).
+    books = similarity.pq_codebooks(emb)
+    codes = similarity.pq_encode(emb, books).persist()
+    codes.count()
+    pq_identical_scaled = True
+    pq_recall_fixed = 0.0
+    pq_wall = 0.0
+    for p in probes[:3]:
+        qvec = [float(v) for v in X[p]]
+        bf = [(int(r["vec_id"]), float(r["cos"])) for r in
+              similarity.cosine_topk(emb, qvec, k=10).collect()]
+        pq_fixed = {int(r["vec_id"]) for r in
+                    similarity.pq_topk(emb, qvec, k=10, n_candidates=100,
+                                       codes=codes,
+                                       codebooks=books).collect()}
+        pq_recall_fixed += len(pq_fixed & {i for i, _ in bf}) / 10
+        t0 = time.perf_counter()
+        pq_scaled = [(int(r["vec_id"]), float(r["cos"])) for r in
+                     similarity.pq_topk(emb, qvec, k=10,
+                                        n_candidates=n // 50,
+                                        codes=codes,
+                                        codebooks=books).collect()]
+        pq_wall += time.perf_counter() - t0
+        pq_identical_scaled = pq_identical_scaled and pq_scaled == bf
+    timings["pq_topk_sf1"] = round(pq_wall / 3, 3)
+    codes.unpersist()
+    emb.unpersist()
+
+    extras = {
+        "ann_scale_n_vectors": n,
+        "ann_recall_at_10_sf1": round(
+            sum(lsh_recalls) / len(lsh_recalls), 3),
+        "ivf_recall_at_10_sf1": round(
+            sum(ivf_recalls) / len(ivf_recalls), 3),
+        "pq_recall_at_10_sf1_ncand100": round(pq_recall_fixed / 3, 3),
+        "pq_rank_identical_sf1_ncand2pct": pq_identical_scaled,
+        "ann_recall_probes": len(probes),
+    }
+    return timings, extras
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--build-only", action="store_true")
@@ -881,6 +997,13 @@ def main() -> None:
         timings, extra = query_bench(spark)
     else:
         timings, extra = {}, {}
+    if os.environ.get("SPARK_GRAFT_BENCH_ANN_SCALE", "1") != "0":
+        try:
+            ann_t, ann_x = ann_scale_bench(spark)
+            timings.update(ann_t)
+            extra.update(ann_x)
+        except Exception as e:  # recall evidence must not cost the record
+            extra["ann_scale_error"] = f"{type(e).__name__}: {e}"
     spark.stop()
 
     total = round(time.perf_counter() - t_total0, 3)
