@@ -837,6 +837,53 @@ def _materialized_index(docs):
     return idx
 
 
+def skew_scale_bench(spark) -> tuple[dict, dict]:
+    """Salting-bound evidence at the scaling corpus size (~334k Zipfian
+    turns, 4x the sf0.1 documents corpus): build the salted term layout
+    with a df_target that activates salting and record that NO
+    (term, salt) row — i.e. no merge/encode task's group — exceeds the
+    target while the hottest term's raw df sits far above it. sf0.1
+    already records this bound (query_bench ``skew`` block); this twin
+    shows the bound holding as the corpus grows."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.build import build_index
+    from searchengine_spark.operators.segments import build_term_segments
+    from searchengine_spark.sources.synth import transcripts_df
+
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_SKEW_CONVS", "40000"))
+    docs = transcripts_df(spark, n_convs=n_convs, seed=42, partitions=24)
+    idx = build_index(docs, layouts=(), cache=True)
+    n_turns = idx.scalars.n_docs
+    df_target = int(os.environ.get("SPARK_GRAFT_BENCH_DF_TARGET", "0")) \
+        or max(1000, n_turns // 20)
+    timings: dict[str, float] = {}
+    t0 = time.perf_counter()
+    tseg = build_term_segments(
+        idx.tf_table, idx.term_stats, idx.scalars.n_docs,
+        idx.scalars.avgdl, df_target=df_target)
+    row = tseg.agg(
+        F.max("n").alias("max_row"),
+        F.sum(F.when(F.col("salt") > 0, 1).otherwise(0)).alias("salted"),
+        F.count("*").alias("rows"),
+    ).collect()[0]
+    timings["term_index_build_salted_scale"] = round(
+        time.perf_counter() - t0, 3)
+    hottest = idx.term_stats.agg(F.max("df")).collect()[0][0]
+    extras = {
+        "skew_scale": {
+            "turns": int(n_turns),
+            "df_target": df_target,
+            "hottest_term_df": int(hottest),
+            "max_term_row_postings": int(row["max_row"]),
+            "salted_rows": int(row["salted"]),
+            "term_rows": int(row["rows"]),
+            "bound_held": bool(int(row["max_row"]) <= df_target),
+        }
+    }
+    return timings, extras
+
+
 def ann_scale_bench(spark) -> tuple[dict, dict]:
     """ANN recall evidence at 10x the sf0.1 embedding count ("sf1"):
     20k deterministic clustered vectors (200 Gaussian clusters — realistic
@@ -1004,6 +1051,13 @@ def main() -> None:
             extra.update(ann_x)
         except Exception as e:  # recall evidence must not cost the record
             extra["ann_scale_error"] = f"{type(e).__name__}: {e}"
+    if os.environ.get("SPARK_GRAFT_BENCH_SKEW_SCALE", "1") != "0":
+        try:
+            skew_t, skew_x = skew_scale_bench(spark)
+            timings.update(skew_t)
+            extra.update(skew_x)
+        except Exception as e:
+            extra["skew_scale_error"] = f"{type(e).__name__}: {e}"
     spark.stop()
 
     total = round(time.perf_counter() - t_total0, 3)
