@@ -110,11 +110,17 @@ def purge_term_segments(
     )
 
 
-def exclude_tf(tf_table: DataFrame, tombstones: set[int]) -> DataFrame:
+def exclude_tf(
+    tf_table: DataFrame, tombstones: set[int] | DataFrame
+) -> DataFrame:
     """Exhaustive-path mask: drop tombstoned docs' tf rows before
     scoring. For driver-sized delete sets an isin filter compiles to a
-    pushed-down IN; at cluster scale pass a DataFrame and left_anti
-    join instead (same semantics)."""
+    pushed-down IN; a DataFrame of ids (the cluster-scale form) becomes
+    a left_anti join — same semantics, never driver-materialized."""
+    if isinstance(tombstones, DataFrame):
+        return tf_table.join(
+            tombstones.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
     if not tombstones:
         return tf_table
     return tf_table.filter(

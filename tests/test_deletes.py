@@ -296,3 +296,23 @@ def test_wand_exclude_100k_tombstones(eng):
     exh = _ranked(eng.search(QUERY, k=10, mode="exhaustive"))
     assert got == exh and got
     assert not {d for d, _ in got} & set(ids)
+
+
+def test_exclude_tf_dataframe_form(eng, spark):
+    """exclude_tf accepts a DataFrame of ids (cluster-scale form: a
+    left_anti join, never driver-materialized) with identical semantics
+    to the set form."""
+    from searchengine_spark.operators.deletes import exclude_tf
+    from searchengine_spark.operators.ingest import tf_from_doc_map
+
+    dead = set(_victims(eng))
+    tf = tf_from_doc_map(eng.doc_map)
+    want = sorted(
+        (int(r.doc_id), r.term, int(r.tf))
+        for r in exclude_tf(tf, dead).collect())
+    dead_df = spark.createDataFrame([(int(d),) for d in dead],
+                                    "doc_id long")
+    got = sorted(
+        (int(r.doc_id), r.term, int(r.tf))
+        for r in exclude_tf(tf, dead_df).collect())
+    assert got == want and want
