@@ -343,6 +343,47 @@ class SearchEngine:
             window=window, k=k, exclude=self.tombstones(),
         )
 
+    def search_wildcard(self, prefix: str, k: int = 10,
+                        n_expand: int = 5) -> DataFrame:
+        """Wildcard query `prefix*` (operators/lexicon.py): dictionary
+        expansion (df-ranked, capped at ``n_expand``) scored as a
+        weighted BM25 OR-union. Tombstones masked."""
+        from searchengine_spark.operators.deletes import exclude_tf
+        from searchengine_spark.operators.lexicon import prefix_search_topk
+
+        tf = exclude_tf(tf_from_doc_map(self.doc_map),
+                        set(self.tombstones()))
+        return prefix_search_topk(tf, self.term_stats, self.scalars,
+                                  prefix, k=k, n_expand=n_expand)
+
+    def search_fuzzy(self, term: str, k: int = 10, max_dist: int = 1,
+                     n_expand: int = 3) -> DataFrame:
+        """Fuzzy query `term~max_dist`: levenshtein dictionary expansion
+        weighted 1/(1+dist), BM25 OR-union. Tombstones masked."""
+        from searchengine_spark.operators.deletes import exclude_tf
+        from searchengine_spark.operators.lexicon import fuzzy_search_topk
+
+        tf = exclude_tf(tf_from_doc_map(self.doc_map),
+                        set(self.tombstones()))
+        return fuzzy_search_topk(tf, self.term_stats, self.scalars, term,
+                                 k=k, max_dist=max_dist, n_expand=n_expand)
+
+    def search_collapse(self, query: str, field: str = "conv_id",
+                        k: int = 10, agg: str = "max") -> DataFrame:
+        """Exact field collapsing (operators/collapse.py): grouped top-k
+        over any doc-store column — the verification-grade twin of
+        search_convs' WAND over-fetch path. Tombstones masked."""
+        from searchengine_spark.operators.collapse import collapse_topk
+        from searchengine_spark.operators.deletes import exclude_tf
+
+        if field not in self.doc_map.columns:
+            raise ValueError(f"doc store has no {field!r} column")
+        tf = exclude_tf(tf_from_doc_map(self.doc_map),
+                        set(self.tombstones()))
+        groups = self.doc_map.select("doc_id", F.col(field).alias("group"))
+        return collapse_topk(tf, self.term_stats, self.scalars, groups,
+                             query, k=k, agg=agg)
+
     def search_batch(self, queries: list[tuple[int, str]], k: int = 10) -> DataFrame:
         """(query_id, rank, doc_id, score) for many queries in one pass.
         Tombstoned docs are masked like single-query search."""

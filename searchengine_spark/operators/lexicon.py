@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from searchengine_spark.operators.forward import CorpusScalars
+
 
 def suggest_prefix(term_stats: DataFrame, prefix: str,
                    k: int = 10) -> DataFrame:
@@ -53,5 +55,86 @@ def did_you_mean(term_stats: DataFrame, query_term: str, k: int = 5,
         .filter((F.col("dist") <= max_dist) & (F.col("term") != q))
         .select("term", "dist", F.col("df").cast("long").alias("df"))
         .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(k)
+    )
+
+
+# -- query-rewrite retrieval -------------------------------------------------
+#
+# The reference has no wildcard or fuzzy matching (a typo'd term contributes
+# nothing, Engine.cs:127-137). These are the Lucene-style rewrite queries:
+# expand against the dictionary first (tiny), then score the expansion as a
+# weighted OR-union — the scoring plan is score_all_terms (broadcast the
+# expansion, one postings join, hash-agg accumulate), so a rewrite query
+# costs the same as an n_expand-term BM25 query, never a corpus scan.
+
+
+def expand_prefix_terms(term_stats: DataFrame, prefix: str,
+                        n_expand: int = 5) -> DataFrame:
+    """-> (term, qf=1.0): the ``n_expand`` highest-df dictionary terms
+    starting with ``prefix`` (ties term asc) — the wildcard-rewrite set.
+    Bounding the expansion is load-bearing at scale: `a*` over a 10^8-term
+    dictionary must not become a 10^6-term disjunction (Lucene's
+    max_expansions has the same job)."""
+    return (
+        term_stats.filter(F.col("term").startswith(prefix))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(n_expand)
+        .select("term", F.lit(1.0).alias("qf"))
+    )
+
+
+def expand_fuzzy_terms(term_stats: DataFrame, query_term: str,
+                       max_dist: int = 1, n_expand: int = 3) -> DataFrame:
+    """-> (term, qf=1/(1+dist)): dictionary terms within ``max_dist``
+    edits of ``query_term`` (the exact term INCLUDED at qf=1), ranked
+    (dist asc, df desc, term asc), capped at ``n_expand``. The length
+    pre-filter (|len(term) - len(q)| <= max_dist) is a cheap pushed-down
+    predicate that skips most of the dictionary before the O(len^2)
+    levenshtein runs; both stay in whole-stage codegen."""
+    q = query_term.lower()
+    pre = F.abs(F.length("term") - F.lit(len(q))) <= max_dist
+    dist = F.levenshtein("term", F.lit(q))
+    return (
+        term_stats.filter(pre)
+        .withColumn("dist", dist.cast("long"))
+        .filter(F.col("dist") <= max_dist)
+        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(n_expand)
+        .select("term", (F.lit(1.0) / (F.lit(1.0) + F.col("dist"))).alias("qf"))
+    )
+
+
+def prefix_search_topk(tf_table: DataFrame, term_stats: DataFrame,
+                       scalars: CorpusScalars, prefix: str, k: int = 10,
+                       n_expand: int = 5) -> DataFrame:
+    """Wildcard query `prefix*`: expand against the dictionary, BM25 the
+    expansion as an OR-union with unit weights -> top-k
+    (doc_id, score) rounded for cross-engine hashing, rank pinned
+    (score desc, doc_id asc)."""
+    from searchengine_spark.operators.topk import score_all_terms
+
+    exp = expand_prefix_terms(term_stats, prefix, n_expand)
+    allsc = score_all_terms(tf_table, term_stats, scalars, exp)
+    return (
+        allsc.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def fuzzy_search_topk(tf_table: DataFrame, term_stats: DataFrame,
+                      scalars: CorpusScalars, query_term: str, k: int = 10,
+                      max_dist: int = 1, n_expand: int = 3) -> DataFrame:
+    """Fuzzy query `term~max_dist`: edit-distance expansion weighted
+    1/(1+dist), BM25 OR-union -> top-k (doc_id, score), rank pinned
+    (score desc, doc_id asc)."""
+    from searchengine_spark.operators.topk import score_all_terms
+
+    exp = expand_fuzzy_terms(term_stats, query_term, max_dist, n_expand)
+    allsc = score_all_terms(tf_table, term_stats, scalars, exp)
+    return (
+        allsc.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )

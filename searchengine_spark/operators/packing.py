@@ -91,3 +91,80 @@ def pack_bins(
             yield pdf
 
     return ranged.mapInPandas(_pack, schema=out_schema)
+
+
+def budget_select(
+    df: DataFrame,
+    budget: int,
+    len_col: str,
+    quality_col: str = "quality",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Token-budget corpus selection: take whole docs in
+    (``quality_col`` desc, ``id_col`` asc) order while the INCLUSIVE
+    running token total stays <= ``budget`` — the "best N tokens of the
+    corpus" curation step that sits between quality scoring and packing.
+
+    Prefix semantics (the doc that would overflow the budget ends the
+    selection; no skip-and-continue knapsack) keep it a pure function of
+    the ordered prefix sum, so the oracle is a window cumsum and the
+    scale shape is the same two-phase prefix sum as pack_bins: range-
+    partition on the order key, per-partition sums, driver exclusive
+    offsets (#partitions numbers), one Arrow pass. The budget filter
+    then prunes whole partitions (every partition whose driver offset
+    already exceeds the budget is never materialized past its scan).
+
+    -> (id, quality, len, cum_tokens) rows of the selected prefix,
+    ordered (quality desc, id asc).
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+
+    order = [F.col(quality_col).desc(), F.col(id_col).asc()]
+    ranged = df.select(id_col, quality_col, len_col).repartitionByRange(
+        num_partitions, *order
+    ).sortWithinPartitions(*order)
+    ranged = ranged.persist(StorageLevel.DISK_ONLY)
+
+    sums = (
+        ranged.select(F.spark_partition_id().alias("pid"), F.col(len_col))
+        .groupBy("pid")
+        .agg(F.coalesce(F.sum(len_col), F.lit(0)).alias("s"))
+        .collect()
+    )
+    sum_by_pid = {r["pid"]: int(r["s"]) for r in sums}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in range(num_partitions):
+        offsets[pid] = acc
+        acc += sum_by_pid.get(pid, 0)
+
+    out_schema = T.StructType(
+        list(ranged.schema) + [T.StructField("cum_tokens", T.LongType(), False)]
+    )
+    b_offsets = spark.sparkContext.broadcast(offsets)
+    b = int(budget)
+
+    def _cum(batches):
+        pid = TaskContext.get().partitionId()
+        start = b_offsets.value[pid]
+        if start >= b:  # whole partition past the budget — emit nothing
+            return
+        for pdf in batches:
+            lens = pdf[len_col].astype("int64")
+            ends = lens.cumsum() + start
+            pdf = pdf.copy()
+            pdf["cum_tokens"] = ends
+            start = int(ends.iloc[-1]) if len(pdf) else start
+            yield pdf[pdf["cum_tokens"] <= b]
+            if start > b:
+                return
+
+    return (
+        ranged.mapInPandas(_cum, schema=out_schema)
+        .orderBy(F.col(quality_col).desc(), F.col(id_col).asc())
+    )

@@ -445,3 +445,87 @@ def pq_topk(
         .orderBy(F.desc("cos"), F.asc(id_col))
         .limit(k)
     )
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    pool: int = 30,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: tuple = (),
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k -> (rank, id, rel).
+
+    Two phases with very different scales, split accordingly:
+
+    1. RELEVANCE (distributed): exact cosine vs the query over the whole
+       corpus (JVM zip_with/aggregate, column-pruned scan), keep the top
+       ``pool`` candidates (TakeOrderedAndProject bounded heap). At
+       100 TB this phase is ann_topk/ivf_topk instead — same contract
+       (a small candidate pool), cheaper scan.
+    2. GREEDY MMR (driver): the O(pool^2) selection over the pool-row
+       candidate set — pool is k-scale (30), so this is a k-row driver
+       fusion like hybrid RRF, NOT a collect of corpus data. Each step
+       picks argmax of lam*rel - (1-lam)*max_sim_to_selected.
+
+    Float discipline: rel and pairwise sims round to 5dp (embedding
+    cosine discipline — 6th-decimal summation-order flips), the MMR
+    objective re-rounds to 5dp, ties break id asc; pairwise dot products
+    use sequential left-to-right summation to match the SQL oracle's
+    list_sum exactly.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    df = embeddings.withColumn("_q", q)
+    if exclude_ids:
+        df = df.filter(~F.col(id_col).isin([int(i) for i in exclude_ids]))
+    cos = _dot(vec_col, "_q") / (_norm(vec_col) * _norm("_q"))
+    cands = (
+        df.select(F.col(id_col), F.round(cos, 5).alias("rel"), F.col(vec_col))
+        .orderBy(F.desc("rel"), F.asc(id_col))
+        .limit(pool)
+        .collect()
+    )
+    ids = [int(r[id_col]) for r in cands]
+    rels = {int(r[id_col]): float(r["rel"]) for r in cands}
+    vecs = {int(r[id_col]): [float(x) for x in r[vec_col]] for r in cands}
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return round(dot / ((na ** 0.5) * (nb ** 0.5)), 5)
+
+    sims = {}
+    for i in ids:
+        for j in ids:
+            if i != j:
+                sims[(i, j)] = _cos(vecs[i], vecs[j])
+
+    selected: list[int] = []
+    remaining = list(ids)  # already (rel desc, id asc) ordered
+    out = []
+    while remaining and len(selected) < k:
+        if not selected:
+            pick = remaining[0]
+        else:
+            # argmax of rounded MMR, tie-break id asc (remaining is id-
+            # unsorted after pops, so compare explicitly)
+            best_key, pick = None, None
+            for cand in remaining:
+                max_sim = max(sims[(cand, s)] for s in selected)
+                mmr = round(lam * rels[cand] - (1.0 - lam) * max_sim, 5)
+                key = (mmr, -cand)
+                if best_key is None or key > best_key:
+                    best_key, pick = key, cand
+        selected.append(pick)
+        remaining.remove(pick)
+        out.append((len(selected), pick, rels[pick]))
+
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        out, f"rank int, {id_col} long, rel double")

@@ -78,8 +78,26 @@ def score_all(
     oracle rank-identity; rounded-then-ranked for cross-engine hashing)."""
     spark = tf_table.sparkSession
     qt = query_terms_df(spark, query)
+    return score_all_terms(tf_table, term_stats, scalars, qt,
+                           mode=mode, posting_cap=posting_cap)
+
+
+def score_all_terms(
+    tf_table: DataFrame,
+    term_stats: DataFrame,
+    scalars: CorpusScalars,
+    terms_df: DataFrame,
+    mode: str = "bm25",
+    posting_cap: int | None = None,
+) -> DataFrame:
+    """Exhaustive scoring against an explicit (term, qf) weight table
+    instead of a raw query string — the shared engine under query-
+    rewrite retrieval (prefix/wildcard expansion, fuzzy expansion, PRF):
+    the rewriter produces a tiny weighted term set, this broadcasts it
+    against the postings and OR-union accumulates exactly like
+    ``score_all``. ``qf`` may be fractional (expansion weights)."""
     joined = (
-        tf_table.join(F.broadcast(qt), "term")
+        tf_table.join(F.broadcast(terms_df.select("term", "qf")), "term")
         .join(term_stats, "term")
     )
     if mode == "reference":

@@ -8,9 +8,10 @@ same lifecycle is a stdlib ``ThreadingHTTPServer`` in front of
 ``engine.SearchEngine`` (load once, serve many):
 
     GET /search?q=words&k=10[&mode=wand|term|exhaustive|reference|
-                              phrase|near][&w=5][&snippets=1]
+                              phrase|near|prf|prefix|fuzzy][&w=5][&snippets=1]
         (mode=phrase: q is an exact phrase; mode=near: q is two terms,
-         w the token window)
+         w the token window; mode=prefix: q is a term prefix, wildcard
+         rewrite; mode=fuzzy: q is a single term, levenshtein<=2 rewrite)
         -> {"query": ..., "k": ..., "took_ms": ..., "results":
             [{"doc_id": ..., "score": ...}, ...]}
     GET /doc?id=123      -> the doc-store row (text + turn metadata)
@@ -36,7 +37,7 @@ from urllib.parse import parse_qs, urlparse
 from searchengine_spark.engine import SearchEngine
 
 _MODES = {"wand", "term", "exhaustive", "reference", "phrase", "near",
-          "prf"}
+          "prf", "prefix", "fuzzy"}
 
 
 def _run_search(engine: SearchEngine, q: str, k: int, mode: str,
@@ -46,6 +47,10 @@ def _run_search(engine: SearchEngine, q: str, k: int, mode: str,
     posting-list plans)."""
     if mode == "prf":
         return engine.search_prf(q, k=k)
+    if mode == "prefix":
+        return engine.search_wildcard(q, k=k)
+    if mode == "fuzzy":
+        return engine.search_fuzzy(q, k=k, max_dist=2)
     if mode == "phrase":
         return engine.search_phrase(q, k=k)
     if mode == "near":

@@ -9,6 +9,8 @@ import urllib.request
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from searchengine_spark.engine import SearchEngine
 from searchengine_spark.pipeline import run_build
 from searchengine_spark.serve import EngineServer
@@ -262,3 +264,44 @@ def test_search_after_pages_partition_the_ranking(served):
                                     k=10).collect()]
     assert p2 == want2 and p2
     assert not set(d for _, d in p2) & set(d for _, d in page1)
+
+
+def test_search_prefix_and_fuzzy_modes(served):
+    """mode=prefix (wildcard rewrite) and mode=fuzzy (levenshtein<=2
+    rewrite) over HTTP equal the engine API row-for-row; the fuzzy typo
+    recovers results even though the literal term is in no document."""
+    eng, base = served
+    # a real dictionary term to derive the prefix / typo from
+    term = eng.term_stats.orderBy("term").filter(
+        F.length("term") >= 4).select("term").first()["term"]
+
+    prefix = term[:3]
+    status, body = _get(f"{base}/search?q={prefix}&mode=prefix&k=5")
+    assert status == 200 and body["mode"] == "prefix"
+    direct = [(r.doc_id, round(r.score, 9))
+              for r in eng.search_wildcard(prefix, k=5).collect()]
+    got = [(r["doc_id"], round(r["score"], 9)) for r in body["results"]]
+    assert got == direct and len(got) > 0
+
+    typo = term[:-1] + "zz"  # dist 2 from term, certainly not a real term
+    status, body = _get(f"{base}/search?q={typo}&mode=fuzzy&k=5")
+    assert status == 200 and body["mode"] == "fuzzy"
+    direct = [(r.doc_id, round(r.score, 9))
+              for r in eng.search_fuzzy(typo, k=5, max_dist=2).collect()]
+    got = [(r["doc_id"], round(r["score"], 9)) for r in body["results"]]
+    assert got == direct and len(got) > 0
+
+
+def test_search_collapse_exact_vs_convs(served):
+    """search_collapse (exact grouped top-k) agrees with search_convs
+    (WAND over-fetch collapse) on group ranking when the over-fetch
+    covers every matching turn — and its group_score is the max member
+    score by construction."""
+    eng, base = served
+    q = "babace badi"
+    exact = eng.search_collapse(q, field="conv_id", k=5).collect()
+    approx = eng.search_convs(q, k=5, turns_k=10_000).collect()
+    assert [(r.group, round(r.group_score, 6), r.best_doc_id)
+            for r in exact] == \
+        [(r.conv_id, round(r.conv_score, 6), r.best_doc_id)
+         for r in approx]
