@@ -758,6 +758,38 @@ def query_bench(spark) -> tuple[dict, dict]:
                               single_q, k=20), "doc_id", "score"),
          with_rank(similarity.cosine_topk(emb, qvec, k=20), "vec_id", "cos")],
         id_col="doc_id", k=TOPK).collect())
+    # query rewrite: dictionary expansion (tiny) + weighted BM25 OR-union
+    # — must cost like an n_expand-term query, not a corpus scan
+    from searchengine_spark.operators.lexicon import (
+        fuzzy_search_topk,
+        prefix_search_topk,
+    )
+
+    timed("prefix_search", lambda: prefix_search_topk(
+        idx.tf_table, idx.term_stats, idx.scalars, top_terms[0][:2],
+        k=TOPK, n_expand=5).collect())
+    timed("fuzzy_search", lambda: fuzzy_search_topk(
+        idx.tf_table, idx.term_stats, idx.scalars, top_terms[0] + "x",
+        k=TOPK, max_dist=2, n_expand=3).collect())
+    # field collapsing: exact grouped top-k over the matching set
+    from searchengine_spark.operators.collapse import collapse_topk
+
+    doc_groups = raw_docs.select("doc_id", F.col("source").alias("group"))
+    timed("collapse_topk", lambda: collapse_topk(
+        idx.tf_table, idx.term_stats, idx.scalars, doc_groups, single_q,
+        k=TOPK).collect())
+    # MMR diversification: distributed cosine pool + greedy over pool rows
+    timed("mmr_topk", lambda: similarity.mmr_topk(
+        emb, qvec, k=10, pool=30, lam=0.7).collect())
+    # token-budget curation: quality-ranked prefix, two-phase prefix sum
+    from searchengine_spark.operators.packing import budget_select
+
+    timed("budget_select", lambda: budget_select(
+        textstats.quality_score(raw_docs).select(
+            "doc_id", "quality",
+            F.col("n_tokens").cast("long").alias("n_tokens")),
+        max(1000, n_docs_corpus * 10), len_col="n_tokens").count())
+
     # PQ: codebooks + m-byte codes built once (amortized like the other
     # ANN indexes); the ADC query scans only the codes table
     pq_books = similarity.pq_codebooks(emb)

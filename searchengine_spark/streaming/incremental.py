@@ -13,6 +13,10 @@ LSM/Lucene segment model expressed as Structured Streaming + foreachBatch.
       --foreachBatch--> gen_{k}/doc_map.parquet + gen_{k}/segments.parquet
                         + state.json (n_docs, sum_dl, generations)
     compact(index_dir) -> merged/segments.parquet  (sort-merge all gens)
+    tiered_compact(index_dir) -> Lucene-TieredMergePolicy analog: merge
+      only same-size-tier generations as they accumulate, so steady-state
+      write amplification is O(corpus * log corpus), not
+      O(batches * corpus); compact() stays the pre-serving full merge
 
 Queries can run against merged ∪ uncompacted generations; correctness of
 compaction (merged == fresh build over the full corpus) is asserted by
@@ -163,6 +167,93 @@ def compact(spark: SparkSession, index_dir: str,
     out = os.path.join(index_dir, "merged", "segments.parquet")
     merged.write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
+
+
+def _tier(n_docs: int, tier_factor: int) -> int:
+    """Size tier of a generation: floor(log_{tier_factor}(n_docs)).
+    Generations merge only with same-tier peers, so each posting is
+    rewritten O(log_{factor}(corpus)) times over the stream's lifetime
+    instead of O(#batches) under always-full compaction."""
+    t, n = 0, max(int(n_docs), 1)
+    while n >= tier_factor:
+        t += 1
+        n //= tier_factor
+    return t
+
+
+def tiered_compact(spark: SparkSession, index_dir: str,
+                   tier_factor: int = 8, max_per_tier: int = 4,
+                   df_target: int = 100_000) -> list[dict]:
+    """Lucene-TieredMergePolicy analog: whenever ``max_per_tier``
+    generations accumulate in one size tier, sort-merge the oldest
+    ``max_per_tier`` of them into a single (next-tier-sized) generation;
+    cascade until no tier overflows. ``compact()`` (full merge) stays the
+    pre-serving step; this bounds the stream's steady-state write
+    amplification — at 10^12 turns a full re-merge per trigger is
+    O(batches * corpus) rewrite traffic, tiered merging is
+    O(corpus * log(corpus)).
+
+    Crash-safe like process_batch: the merged generation directory is
+    written completely BEFORE the state commit (os.replace); member
+    directories are removed only after the commit, so a crash at any
+    point leaves either the old state (plus a harmless orphan dir the
+    deterministic name lets the retry overwrite) or the new one.
+
+    Returns one record per merge performed:
+    ``{"tier", "members", "new", "n_docs"}``.
+    """
+    import shutil
+
+    merges: list[dict] = []
+    while True:
+        state = read_state(index_dir)
+        tiers: dict[int, list[dict]] = {}
+        for g in state["generations"]:
+            tiers.setdefault(_tier(g["n_docs"], tier_factor), []).append(g)
+        overflowing = sorted(t for t, gs in tiers.items()
+                             if len(gs) >= max_per_tier)
+        if not overflowing:
+            return merges
+        t = overflowing[0]
+        members = sorted(tiers[t], key=lambda g: g["start_id"])[:max_per_tier]
+        member_names = [g["name"] for g in members]
+
+        parts = [
+            (spark.read.parquet(
+                os.path.join(index_dir, g["name"], "segments.parquet")), 0)
+            for g in members
+        ]
+        n_docs = sum(g["n_docs"] for g in members)
+        sum_dl = sum(g["sum_dl"] for g in members)
+        avgdl_group = (sum_dl / n_docs) if n_docs else 1.0
+        start_id = min(g["start_id"] for g in members)
+        new_name = f"tier{t}_{start_id:012d}"
+        merged = merge_term_segments(parts, avgdl_merged=avgdl_group,
+                                     df_target=df_target)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(index_dir, new_name, "segments.parquet"))
+        # carry the doc store forward too (uniform generation layout)
+        dm_paths = [os.path.join(index_dir, g["name"], "doc_map.parquet")
+                    for g in members]
+        if all(os.path.exists(p) for p in dm_paths):
+            dm = spark.read.parquet(dm_paths[0])
+            for p in dm_paths[1:]:
+                dm = dm.unionByName(spark.read.parquet(p))
+            dm.write.mode("overwrite").parquet(
+                os.path.join(index_dir, new_name, "doc_map.parquet"))
+
+        new_entry = {"name": new_name, "n_docs": n_docs, "doc_offset": 0,
+                     "sum_dl": sum_dl, "start_id": start_id}
+        first_idx = min(i for i, g in enumerate(state["generations"])
+                        if g["name"] in member_names)
+        state["generations"] = [g for g in state["generations"]
+                                if g["name"] not in member_names]
+        state["generations"].insert(first_idx, new_entry)
+        _write_state(index_dir, state)
+        for name in member_names:  # post-commit cleanup; orphans harmless
+            shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
+        merges.append({"tier": t, "members": member_names,
+                       "new": new_name, "n_docs": n_docs})
 
 
 def export_for_serving(spark: SparkSession, index_dir: str,
