@@ -356,6 +356,19 @@ class SearchEngine:
         return prefix_search_topk(tf, self.term_stats, self.scalars,
                                   prefix, k=k, n_expand=n_expand)
 
+    def search_regex(self, pattern: str, k: int = 10,
+                     n_expand: int = 5) -> DataFrame:
+        """Regex query: dictionary terms matching ``pattern`` (df-ranked,
+        capped) scored as a unit-weight BM25 OR-union. Tombstones
+        masked."""
+        from searchengine_spark.operators.deletes import exclude_tf
+        from searchengine_spark.operators.lexicon import regex_search_topk
+
+        tf = exclude_tf(tf_from_doc_map(self.doc_map),
+                        set(self.tombstones()))
+        return regex_search_topk(tf, self.term_stats, self.scalars,
+                                 pattern, k=k, n_expand=n_expand)
+
     def search_fuzzy(self, term: str, k: int = 10, max_dist: int = 1,
                      n_expand: int = 3) -> DataFrame:
         """Fuzzy query `term~max_dist`: levenshtein dictionary expansion

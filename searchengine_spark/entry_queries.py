@@ -2429,6 +2429,31 @@ exp AS (
 {_EXPANDED_SCORE_SQL}"""
 
 
+_REGEX_PAT = "ow$"
+_REGEX_EXPAND = 5
+
+
+def q_regex_search(spark, sf_dir):
+    """Regex rewrite `/ow$/` (operators/lexicon.py regex_search_topk):
+    the dictionary terms matching the pattern (slow/row/window in this
+    corpus), df-ranked and capped, scored as a unit-weight BM25
+    OR-union."""
+    from searchengine_spark.operators.lexicon import regex_search_topk
+
+    _, _, tf_table, stats, scalars = _index_parts(spark, sf_dir)
+    return regex_search_topk(tf_table, stats, scalars, _REGEX_PAT,
+                             k=10, n_expand=_REGEX_EXPAND)
+
+
+SQL_REGEX_SEARCH = f"""WITH {BASE_CTES},
+exp AS (
+  SELECT term, 1.0 AS qf FROM stats
+  WHERE regexp_matches(term, '{_REGEX_PAT}')
+  ORDER BY df DESC, term ASC LIMIT {_REGEX_EXPAND}
+),
+{_EXPANDED_SCORE_SQL}"""
+
+
 _MMR_K = 10
 _MMR_POOL = 30
 _MMR_LAM = 0.7
@@ -2528,6 +2553,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_topk": q_collapse_topk,
         "prefix_search": q_prefix_search,
         "fuzzy_search": q_fuzzy_search,
+        "regex_search": q_regex_search,
         "mmr_topk": q_mmr_topk,
         "budget_select": q_budget_select,
         # round-2 flagship operators (locally gate-verified, never in a
@@ -2628,6 +2654,7 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "collapse_topk": SQL_COLLAPSE_TOPK,
         "prefix_search": SQL_PREFIX_SEARCH,
         "fuzzy_search": SQL_FUZZY_SEARCH,
+        "regex_search": SQL_REGEX_SEARCH,
         "mmr_topk": SQL_MMR_TOPK,
         "budget_select": SQL_BUDGET_SELECT,
         "facet_counts": _facet_counts_sql(),

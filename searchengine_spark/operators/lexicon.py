@@ -138,3 +138,35 @@ def fuzzy_search_topk(tf_table: DataFrame, term_stats: DataFrame,
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def expand_regex_terms(term_stats: DataFrame, pattern: str,
+                       n_expand: int = 5) -> DataFrame:
+    """-> (term, qf=1.0): the ``n_expand`` highest-df dictionary terms
+    matching ``pattern`` (partial-match semantics, like Java find() /
+    DuckDB regexp_matches), ties term asc. Same bounded-rewrite contract
+    as the prefix expansion; unlike a prefix, a regex can't prune the
+    dictionary scan by term range — it's a full pass over the (small)
+    dictionary, which is exactly Lucene's RegexpQuery cost model too."""
+    return (
+        term_stats.filter(F.col("term").rlike(pattern))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(n_expand)
+        .select("term", F.lit(1.0).alias("qf"))
+    )
+
+
+def regex_search_topk(tf_table: DataFrame, term_stats: DataFrame,
+                      scalars: CorpusScalars, pattern: str, k: int = 10,
+                      n_expand: int = 5) -> DataFrame:
+    """Regex query: dictionary expansion scored as a unit-weight BM25
+    OR-union -> top-k (doc_id, score), rank pinned."""
+    from searchengine_spark.operators.topk import score_all_terms
+
+    exp = expand_regex_terms(term_stats, pattern, n_expand)
+    allsc = score_all_terms(tf_table, term_stats, scalars, exp)
+    return (
+        allsc.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

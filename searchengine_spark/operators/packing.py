@@ -161,7 +161,7 @@ def budget_select(
             pdf["cum_tokens"] = ends
             start = int(ends.iloc[-1]) if len(pdf) else start
             yield pdf[pdf["cum_tokens"] <= b]
-            if start > b:
+            if start >= b:  # nothing later can fit — stop reading
                 return
 
     return (

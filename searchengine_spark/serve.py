@@ -8,10 +8,11 @@ same lifecycle is a stdlib ``ThreadingHTTPServer`` in front of
 ``engine.SearchEngine`` (load once, serve many):
 
     GET /search?q=words&k=10[&mode=wand|term|exhaustive|reference|
-                              phrase|near|prf|prefix|fuzzy][&w=5][&snippets=1]
+                              phrase|near|prf|prefix|fuzzy|regex][&w=5][&snippets=1]
         (mode=phrase: q is an exact phrase; mode=near: q is two terms,
          w the token window; mode=prefix: q is a term prefix, wildcard
-         rewrite; mode=fuzzy: q is a single term, levenshtein<=2 rewrite)
+         rewrite; mode=fuzzy: q is a single term, levenshtein<=2 rewrite;
+         mode=regex: q is a term regex, df-ranked capped rewrite)
         -> {"query": ..., "k": ..., "took_ms": ..., "results":
             [{"doc_id": ..., "score": ...}, ...]}
     GET /doc?id=123      -> the doc-store row (text + turn metadata)
@@ -37,7 +38,7 @@ from urllib.parse import parse_qs, urlparse
 from searchengine_spark.engine import SearchEngine
 
 _MODES = {"wand", "term", "exhaustive", "reference", "phrase", "near",
-          "prf", "prefix", "fuzzy"}
+          "prf", "prefix", "fuzzy", "regex"}
 
 
 def _run_search(engine: SearchEngine, q: str, k: int, mode: str,
@@ -51,6 +52,8 @@ def _run_search(engine: SearchEngine, q: str, k: int, mode: str,
         return engine.search_wildcard(q, k=k)
     if mode == "fuzzy":
         return engine.search_fuzzy(q, k=k, max_dist=2)
+    if mode == "regex":
+        return engine.search_regex(q, k=k)
     if mode == "phrase":
         return engine.search_phrase(q, k=k)
     if mode == "near":

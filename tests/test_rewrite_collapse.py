@@ -242,3 +242,30 @@ def test_mmr_lam_one_is_plain_cosine(spark):
     mmr = [r.vec_id for r in mmr_topk(emb, q, k=10, pool=20, lam=1.0).collect()]
     cos = [r.vec_id for r in cosine_topk(emb, q, k=10).collect()]
     assert mmr == cos
+
+
+# -- regex rewrite ------------------------------------------------------------
+
+def test_regex_search_matches_prefix_when_equivalent(index):
+    from searchengine_spark.operators.lexicon import regex_search_topk
+
+    tf, stats, scal = index
+    # ^sor anchored regex == "sor" prefix rewrite, row for row
+    via_regex = [(r.doc_id, r.score) for r in
+                 regex_search_topk(tf, stats, scal, "^sor", k=100,
+                                   n_expand=10).collect()]
+    via_prefix = [(r.doc_id, r.score) for r in
+                  prefix_search_topk(tf, stats, scal, "sor", k=100,
+                                     n_expand=10).collect()]
+    assert via_regex == via_prefix
+
+
+def test_regex_expansion_partial_match_and_cap(index):
+    from searchengine_spark.operators.lexicon import expand_regex_terms
+
+    _, stats, _ = index
+    # unanchored: partial-match semantics (Lucene/DuckDB agree)
+    terms = [r.term for r in
+             expand_regex_terms(stats, "cer", n_expand=5).collect()]
+    assert terms == ["sorcery"]
+    assert expand_regex_terms(stats, "zzz", n_expand=5).count() == 0
