@@ -194,3 +194,56 @@ def test_indexed_near_pushes_term_filters(spark, docs, tmp_path):
     flat = plan.replace(" ", "").replace("'", "")
     assert "PushedFilters" in plan
     assert "EqualTo(term,alpha)" in flat and "EqualTo(term,beta)" in flat, plan
+
+
+def test_rewrite_and_collapse_plans(spark, docs):
+    """Round-3 plan hygiene: rewrite queries broadcast the tiny expansion
+    (never sort-merge it), nothing cartesians, and the final top-k is a
+    bounded TakeOrderedAndProject."""
+    from searchengine_spark.operators.collapse import collapse_topk
+    from searchengine_spark.operators.forward import (
+        CorpusScalars,
+        build_forward,
+        build_term_stats,
+        explode_forward,
+    )
+    from searchengine_spark.operators.lexicon import (
+        fuzzy_search_topk,
+        prefix_search_topk,
+        regex_search_topk,
+    )
+
+    fwd = build_forward(docs)
+    tf = explode_forward(fwd)
+    stats = build_term_stats(tf)
+    scal = CorpusScalars.compute(fwd)
+    groups = docs.select("doc_id", (F.col("doc_id") % 5).alias("group"))
+
+    for df in (
+        prefix_search_topk(tf, stats, scal, "alp", k=5),
+        fuzzy_search_topk(tf, stats, scal, "alpha", k=5),
+        regex_search_topk(tf, stats, scal, "^alp", k=5),
+        collapse_topk(tf, stats, scal, groups, "alpha beta", k=5),
+    ):
+        tree = _tree(_plan(df))
+        assert "CartesianProduct" not in tree, tree
+        assert "BroadcastHashJoin" in tree, tree
+        assert "TakeOrderedAndProject" in tree, tree
+
+
+def test_budget_select_no_global_sort_before_cumsum(spark):
+    """budget_select's prefix sum must be the two-phase shape: a range
+    Exchange feeding partition-local sorts + mapInPandas — never a
+    single-partition global Sort/Window."""
+    from searchengine_spark.operators.packing import budget_select
+
+    df = spark.createDataFrame(
+        [(i, 1.0 - i * 0.001, 10) for i in range(200)],
+        "doc_id long, quality double, n_tokens long")
+    selected = budget_select(df, 500, len_col="n_tokens")
+    plan = _plan(selected)
+    tree = _tree(plan)
+    assert "Window" not in tree, tree
+    assert "rangepartitioning" in plan.lower(), plan
+    # the cumsum itself is the Arrow pass, not a window
+    assert "MapInPandas" in tree, tree
