@@ -1684,6 +1684,36 @@ pdfc AS (SELECT count(*)::BIGINT AS pdf FROM m)
 {_SYNTH_BM25_SELECT}"""
 
 
+def q_slop_topk(spark, sf_dir, term_a: str = "spark", term_b: str = "join",
+                slop: int = 2, k: int = 10):
+    """Ordered-proximity retrieval (operators/positional.py slop_topk):
+    docs where ``term_a`` precedes ``term_b`` by 1..slop admitted tokens
+    (Lucene PhraseQuery-with-slop for two terms), BM25-scored on the
+    ordered occurrence-pair count."""
+    from searchengine_spark.operators.positional import slop_topk
+
+    docs, forward, _, _, scalars = _index_parts(spark, sf_dir)
+    out = slop_topk(docs, forward, term_a, term_b, scalars.n_docs,
+                    scalars.avgdl, slop=slop, k=k + 8)
+    return (
+        out.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+SQL_SLOP_TOPK = f"""WITH {BASE_CTES},
+{_TOKP_CTE},
+m AS (SELECT a.doc_id, count(*)::BIGINT AS mtf
+      FROM tokp a JOIN tokp b
+        ON a.doc_id = b.doc_id AND b.term = 'join'
+       AND b.pos - a.pos BETWEEN 1 AND 2
+      WHERE a.term = 'spark'
+      GROUP BY 1),
+pdfc AS (SELECT count(*)::BIGINT AS pdf FROM m)
+{_SYNTH_BM25_SELECT}"""
+
+
 def q_suggest_prefix(spark, sf_dir, prefix: str = "s", k: int = 10):
     """Autocomplete over the term dictionary (operators/lexicon.py):
     contiguous-range prefix filter + df-ranked top-k."""
@@ -2556,6 +2586,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_search": q_regex_search,
         "mmr_topk": q_mmr_topk,
         "budget_select": q_budget_select,
+        "slop_topk": q_slop_topk,
         # round-2 flagship operators (locally gate-verified, never in a
         # driver CORRECTNESS record) + new this round
         "phrase_topk": q_phrase_topk,
@@ -2657,6 +2688,7 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "regex_search": SQL_REGEX_SEARCH,
         "mmr_topk": SQL_MMR_TOPK,
         "budget_select": SQL_BUDGET_SELECT,
+        "slop_topk": SQL_SLOP_TOPK,
         "facet_counts": _facet_counts_sql(),
         "term_stats": SQL_TERM_STATS,
         "doc_lengths": SQL_DOC_LENGTHS,

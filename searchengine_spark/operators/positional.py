@@ -269,3 +269,79 @@ def near_topk_indexed(postings: DataFrame, forward: DataFrame, term_a: str,
     return _synthetic_bm25(
         _mask(near_match_indexed(postings, term_a, term_b, window), exclude),
         "pairs", forward, n_docs, avgdl, k)
+
+
+# -- slop phrase (ordered proximity) ------------------------------------------
+
+def slop_match(docs: DataFrame, term_a: str, term_b: str, slop: int = 2,
+               text_col: str = "text") -> DataFrame:
+    """(doc_id, pairs): ORDERED occurrence pairs — ``term_a`` strictly
+    before ``term_b`` with at most ``slop - 1`` tokens between them
+    (1 <= pos_b - pos_a <= slop). The middle ground between exact phrase
+    (slop 1, ordered) and NEAR (unordered |Δ| <= w) — Lucene's
+    PhraseQuery-with-slop reading for two terms. Same zero-shuffle
+    in-row plan as near_match."""
+    if term_a == term_b:
+        raise ValueError("slop_match needs two distinct terms")
+    if slop < 1:
+        raise ValueError("slop must be >= 1")
+    gated = _gated_tokens(docs, [term_a, term_b], text_col)
+    pa = _positions_of(F.col("toks"), term_a)
+    pb = _positions_of(F.col("toks"), term_b)
+    pairs = F.aggregate(
+        pa,
+        F.lit(0),
+        lambda acc, p: acc + F.size(
+            F.filter(pb, lambda q: (q - p >= 1) & (q - p <= slop))
+        ),
+    )
+    return (
+        gated.select("doc_id", pairs.cast("long").alias("pairs"))
+        .filter(F.col("pairs") > 0)
+    )
+
+
+def slop_match_indexed(postings: DataFrame, term_a: str, term_b: str,
+                       slop: int = 2) -> DataFrame:
+    """slop_match from a ``build_positional`` table: two pushed-down
+    term-row filters, one doc_id join, in-row ordered-window count."""
+    if term_a == term_b:
+        raise ValueError("slop_match needs two distinct terms")
+    if slop < 1:
+        raise ValueError("slop must be >= 1")
+    pa = (postings.filter(F.col("term") == term_a)
+          .select("doc_id", F.col("positions").alias("_pa")))
+    pb = (postings.filter(F.col("term") == term_b)
+          .select("doc_id", F.col("positions").alias("_pb")))
+    pairs = F.aggregate(
+        F.col("_pa"),
+        F.lit(0),
+        lambda acc, p: acc + F.size(
+            F.filter(F.col("_pb"), lambda q: (q - p >= 1) & (q - p <= slop))
+        ),
+    )
+    return (
+        pa.join(pb, "doc_id")
+        .select("doc_id", pairs.cast("long").alias("pairs"))
+        .filter(F.col("pairs") > 0)
+    )
+
+
+def slop_topk(docs: DataFrame, forward: DataFrame, term_a: str, term_b: str,
+              n_docs: int, avgdl: float, slop: int = 2,
+              k: int = 10, exclude=None) -> DataFrame:
+    """Top-k for ``"term_a term_b"~slop`` (ordered), BM25-scored on the
+    ordered pair count. -> (doc_id, score)."""
+    return _synthetic_bm25(
+        _mask(slop_match(docs, term_a, term_b, slop), exclude),
+        "pairs", forward, n_docs, avgdl, k)
+
+
+def slop_topk_indexed(postings: DataFrame, forward: DataFrame, term_a: str,
+                      term_b: str, n_docs: int, avgdl: float,
+                      slop: int = 2, k: int = 10,
+                      exclude=None) -> DataFrame:
+    """slop_topk over a persisted ``build_positional`` table."""
+    return _synthetic_bm25(
+        _mask(slop_match_indexed(postings, term_a, term_b, slop), exclude),
+        "pairs", forward, n_docs, avgdl, k)

@@ -163,6 +163,89 @@ def test_indexed_phrase_repeated_term(spark):
     assert direct == got
 
 
+def _py_slop(text: str, a: str, b: str, slop: int) -> int:
+    toks = tokenize_py(text)
+    pa = [i for i, t in enumerate(toks) if t == a]
+    pb = [i for i, t in enumerate(toks) if t == b]
+    return sum(1 for p in pa for q in pb if 1 <= q - p <= slop)
+
+
+@pytest.mark.parametrize("slop", [1, 2, 4])
+def test_slop_match_vs_python(spark, docs, slop):
+    from searchengine_spark.operators.positional import slop_match
+
+    got = {r.doc_id: r.pairs for r in
+           slop_match(docs, "spark", "join", slop=slop).collect()}
+    want = {d: _py_slop(t, "spark", "join", slop) for d, t in DOCS
+            if _py_slop(t, "spark", "join", slop) > 0}
+    assert got == want
+
+
+def test_slop_is_ordered(spark, docs):
+    from searchengine_spark.operators.positional import slop_match
+
+    # doc 2 "join spark" matches NEAR(1) but not slop (wrong order)
+    near = {r.doc_id for r in
+            near_match(docs, "spark", "join", window=1).collect()}
+    slop = {r.doc_id for r in
+            slop_match(docs, "spark", "join", slop=1).collect()}
+    assert 2 in near and 2 not in slop
+    # and reversed query direction finds it
+    rev = {r.doc_id for r in
+           slop_match(docs, "join", "spark", slop=1).collect()}
+    assert 2 in rev
+
+
+def test_slop_validation(spark, docs):
+    from searchengine_spark.operators.positional import slop_match
+
+    with pytest.raises(ValueError):
+        slop_match(docs, "spark", "spark")
+    with pytest.raises(ValueError):
+        slop_match(docs, "spark", "join", slop=0)
+
+
+def test_indexed_slop_matches_corpus_pass(spark, docs):
+    from searchengine_spark.operators.positional import (
+        build_positional,
+        slop_match,
+        slop_match_indexed,
+    )
+
+    postings = build_positional(docs).cache()
+    for a, b, s in [("spark", "join", 1), ("spark", "join", 2),
+                    ("join", "spark", 2), ("spark", "fast", 4)]:
+        direct = {(r.doc_id, r.pairs) for r in
+                  slop_match(docs, a, b, slop=s).collect()}
+        indexed = {(r.doc_id, r.pairs) for r in
+                   slop_match_indexed(postings, a, b, slop=s).collect()}
+        assert direct == indexed, (a, b, s)
+    postings.unpersist()
+
+
+def test_slop_topk_runs(spark, docs):
+    from searchengine_spark.operators.forward import build_forward
+    from searchengine_spark.operators.positional import slop_topk
+
+    fwd = build_forward(docs)
+    n = len(DOCS)
+    avgdl = (sum(len(tokenize_py(t)) for _, t in DOCS)) / n
+    out = slop_topk(docs, fwd, "spark", "join", n, avgdl, slop=2,
+                    k=10).collect()
+    assert out and all(r.score > 0 for r in out)
+    dls = {r.doc_id: r.dl for r in fwd.select("doc_id", "dl").collect()}
+    matches = {d: _py_slop(t, "spark", "join", 2) for d, t in DOCS
+               if _py_slop(t, "spark", "join", 2) > 0}
+    want = sorted(
+        ((d, _bm25(ptf, len(matches), n, dls[d], avgdl))
+         for d, ptf in matches.items()),
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert [r.doc_id for r in out] == [d for d, _ in want]
+    for r, (_, ws) in zip(out, want):
+        assert abs(r.score - ws) < 1e-9
+
+
 def test_indexed_near_matches_corpus_pass(spark, docs):
     from searchengine_spark.operators.positional import (
         build_positional,
