@@ -381,6 +381,64 @@ class SearchEngine:
         return fuzzy_search_topk(tf, self.term_stats, self.scalars, term,
                                  k=k, max_dist=max_dist, n_expand=n_expand)
 
+    def search_lm(self, query: str, k: int = 10,
+                  mu: float = 2000.0) -> DataFrame:
+        """Dirichlet-smoothed query-likelihood ranking (operators/topk.py
+        lm_dirichlet_topk) — the second probabilistic scorer next to
+        BM25. Tombstones masked."""
+        from searchengine_spark.operators.deletes import exclude_tf
+        from searchengine_spark.operators.topk import lm_dirichlet_topk
+
+        tf = exclude_tf(tf_from_doc_map(self.doc_map),
+                        set(self.tombstones()))
+        return lm_dirichlet_topk(tf, self.term_stats, self.scalars,
+                                 query, k=k, mu=mu)
+
+    def search_decayed(self, query: str, now_s: float,
+                       half_life_s: float = 30 * 86400.0,
+                       k: int = 10) -> DataFrame:
+        """Recency-decayed BM25 (operators/topk.py decay_topk): final =
+        score * 2^(-age/half_life), age from the doc store's ts column.
+        Tombstones masked."""
+        from searchengine_spark.operators.deletes import exclude_tf
+        from searchengine_spark.operators.topk import decay_topk
+
+        tf = exclude_tf(tf_from_doc_map(self.doc_map),
+                        set(self.tombstones()))
+        doc_ts = self.doc_map.select(
+            "doc_id", F.col("ts").cast("double").alias("ts_s"))
+        return decay_topk(tf, self.term_stats, self.scalars, doc_ts,
+                          query, now_s=now_s, half_life_s=half_life_s, k=k)
+
+    def search_synonyms(self, query: str, synonyms: DataFrame,
+                        k: int = 10) -> DataFrame:
+        """Query-time weighted synonym expansion (operators/lexicon.py):
+        ``synonyms`` is a curated (term, syn, weight) DataFrame. Originals
+        keep full weight; synonym hits score at the damped weight.
+        Tombstones masked."""
+        from searchengine_spark.operators.deletes import exclude_tf
+        from searchengine_spark.operators.lexicon import synonym_search_topk
+
+        tf = exclude_tf(tf_from_doc_map(self.doc_map),
+                        set(self.tombstones()))
+        return synonym_search_topk(tf, self.term_stats, self.scalars,
+                                   query, synonyms, k=k)
+
+    def search_bm25f(self, query: str, k: int = 10, title_len: int = 8,
+                     weights: dict[str, float] | None = None) -> DataFrame:
+        """True BM25F over a title/body token-window split of the doc
+        store's text (operators/fielded.py bm25f_topk). Tombstoned docs
+        are filtered from the doc slice BEFORE the field build, so they
+        neither rank nor perturb the field statistics."""
+        from searchengine_spark.operators.fielded import bm25f_topk
+
+        dead = self.tombstones()
+        docs = self.doc_map.select("doc_id", "text")
+        if dead:
+            docs = docs.filter(~F.col("doc_id").isin(list(dead)))
+        return bm25f_topk(docs, self.term_stats, self.scalars.n_docs,
+                          query, k=k, title_len=title_len, weights=weights)
+
     def search_collapse(self, query: str, field: str = "conv_id",
                         k: int = 10, agg: str = "max") -> DataFrame:
         """Exact field collapsing (operators/collapse.py): grouped top-k

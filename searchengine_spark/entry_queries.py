@@ -2568,6 +2568,161 @@ WHERE cum_tokens <= {_BUDGET_TOKENS}
 ORDER BY quality DESC, doc_id ASC"""
 
 
+_LM_QUERY = "spark join fast"
+_LM_MU = 2000.0
+
+
+def q_lm_dirichlet_topk(spark, sf_dir):
+    """Dirichlet-smoothed query likelihood (operators/topk.py
+    lm_dirichlet_topk) — the second probabilistic scorer next to BM25;
+    rank-equivalent sparse form, per-doc addend rides the hash agg."""
+    from searchengine_spark.operators.topk import lm_dirichlet_topk
+
+    _, _, tf_table, stats, scalars = _index_parts(spark, sf_dir)
+    return lm_dirichlet_topk(tf_table, stats, scalars, _LM_QUERY,
+                             k=10, mu=_LM_MU)
+
+
+def _lm_dirichlet_sql(query: str, k: int = 10, mu: float = _LM_MU) -> str:
+    from searchengine_spark.functions.tokenize import tokenize_py
+
+    q_len = len(tokenize_py(query))
+    return f"""WITH {BASE_CTES},
+{_query_cte(query)},
+tot AS (SELECT sum(dl)::DOUBLE AS c FROM dl),
+partial AS (
+  SELECT tf.doc_id, q.qf * ln(1.0 + tf.tf / ({mu} * (s.cf::DOUBLE / t.c))) AS w
+  FROM tf JOIN q USING (term) JOIN stats s USING (term) CROSS JOIN tot t
+),
+agg AS (SELECT doc_id, sum(w) AS s FROM partial GROUP BY 1)
+SELECT a.doc_id, round(a.s + {float(q_len)} * ln({mu} / (dl.dl + {mu})), 6) AS score
+FROM agg a JOIN dl ON dl.doc_id = a.doc_id
+ORDER BY score DESC, a.doc_id ASC LIMIT {k}"""
+
+
+_BM25F_QUERY = "spark join fast"
+_BM25F_TITLE_LEN = 8
+_BM25F_W_TITLE, _BM25F_W_BODY = 2.0, 1.0
+_BM25F_B_TITLE, _BM25F_B_BODY = 0.5, 0.75
+
+
+def q_bm25f_topk(spark, sf_dir):
+    """TRUE BM25F (operators/fielded.py bm25f_topk): field-weighted,
+    per-field-length-normalized tf accumulated ACROSS fields, saturated
+    once with document-level idf (Robertson & Zaragoza 2009 §3.3).
+    Fields = title (first 8 tokens) / body (rest)."""
+    from searchengine_spark.operators.fielded import bm25f_topk
+
+    docs, _, _, stats, scalars = _index_parts(spark, sf_dir)
+    return bm25f_topk(
+        docs, stats, scalars.n_docs, _BM25F_QUERY, k=10,
+        title_len=_BM25F_TITLE_LEN,
+        weights={"title": _BM25F_W_TITLE, "body": _BM25F_W_BODY},
+        b_per_field={"title": _BM25F_B_TITLE, "body": _BM25F_B_BODY},
+    )
+
+
+_BM25F_W_SQL = f"CASE WHEN f.field = 'title' THEN {_BM25F_W_TITLE} ELSE {_BM25F_W_BODY} END"
+_BM25F_B_SQL = f"CASE WHEN f.field = 'title' THEN {_BM25F_B_TITLE} ELSE {_BM25F_B_BODY} END"
+
+
+def _bm25f_sql(query: str, k: int = 10) -> str:
+    t = _BM25F_TITLE_LEN
+    return f"""WITH {BASE_CTES},
+fslice AS (SELECT doc_id, t[1:{t}] AS title, t[{t + 1}:] AS body FROM tokd),
+funion AS (
+  SELECT doc_id, 'title' AS field, unnest(title) AS term, len(title)::BIGINT AS fdl FROM fslice
+  UNION ALL
+  SELECT doc_id, 'body' AS field, unnest(body) AS term, len(body)::BIGINT AS fdl FROM fslice
+),
+ftf AS (SELECT doc_id, field, term, fdl, count(*)::BIGINT AS tf FROM funion GROUP BY 1, 2, 3, 4),
+fscal AS (SELECT field, avg(fdl) AS avgfdl
+          FROM (SELECT DISTINCT doc_id, field, fdl FROM funion) GROUP BY 1),
+{_query_cte(query)},
+wtf AS (
+  SELECT f.doc_id, f.term,
+         sum(({_BM25F_W_SQL}) * f.tf
+             / (1.0 - ({_BM25F_B_SQL}) + ({_BM25F_B_SQL}) * f.fdl / sc.avgfdl)) AS wtf
+  FROM ftf f JOIN q USING (term) JOIN fscal sc USING (field)
+  GROUP BY 1, 2
+),
+partial AS (
+  SELECT w.doc_id,
+         q.qf * ln((c.n - s.df + 0.5) / (s.df + 0.5) + 1.0)
+              * w.wtf / ({BM25_K1} + w.wtf) AS p
+  FROM wtf w JOIN q USING (term) JOIN stats s USING (term) CROSS JOIN consts c
+)
+SELECT doc_id, round(sum(p), 6) AS score FROM partial GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+_DECAY_QUERY = "spark join fast"
+_DECAY_BASE = 1700000000
+_DECAY_NOW = _DECAY_BASE + 600000
+_DECAY_HALF = 86400.0
+
+
+def q_decay_topk(spark, sf_dir):
+    """Recency-decayed BM25 (operators/topk.py decay_topk): score *
+    2^(-age/half_life), Elasticsearch function_score exp-decay analog.
+    The documents proxy carries no timestamp, so the gate derives a
+    deterministic one from doc_id (base + (doc_id % 10000) * 60 s) on
+    BOTH engines; transcripts use the doc_map ts."""
+    from searchengine_spark.operators.topk import decay_topk
+
+    docs, _, tf_table, stats, scalars = _index_parts(spark, sf_dir)
+    doc_ts = docs.select(
+        "doc_id",
+        (F.lit(float(_DECAY_BASE))
+         + (F.col("doc_id") % 10000).cast("double") * F.lit(60.0)).alias("ts_s"),
+    )
+    return decay_topk(tf_table, stats, scalars, doc_ts, _DECAY_QUERY,
+                      now_s=float(_DECAY_NOW), half_life_s=_DECAY_HALF, k=10)
+
+
+def _decay_topk_sql(query: str, k: int = 10) -> str:
+    return f"""WITH {BASE_CTES},
+{_query_cte(query)},
+partial AS (
+  SELECT tf.doc_id, {_BM25_W} AS w
+  FROM tf JOIN q USING (term) JOIN stats s USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN consts c
+),
+agg AS (SELECT doc_id, sum(w) AS s FROM partial GROUP BY 1)
+SELECT doc_id,
+       round(s * power(2.0, -({float(_DECAY_NOW)} - ({float(_DECAY_BASE)} + (doc_id % 10000) * 60.0)) / {_DECAY_HALF}), 6) AS score
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+_SYN_QUERY = "spark join fast"
+_SYN_TABLE = [("join", "merge", 0.6), ("fast", "stream", 0.3)]
+
+
+def q_synonym_topk(spark, sf_dir):
+    """Query-time weighted synonym expansion (operators/lexicon.py
+    synonym_search_topk): originals at full weight + synonyms at damped
+    weight, summed per term, scored as one weighted BM25 OR-union."""
+    from searchengine_spark.operators.lexicon import synonym_search_topk
+
+    _, _, tf_table, stats, scalars = _index_parts(spark, sf_dir)
+    syn = spark.createDataFrame(_SYN_TABLE, "term string, syn string, weight double")
+    return synonym_search_topk(tf_table, stats, scalars, _SYN_QUERY, syn, k=10)
+
+
+def _synonym_topk_sql(query: str, k: int = 10) -> str:
+    vals = ", ".join(f"('{t}', '{s}', {w})" for t, s, w in _SYN_TABLE)
+    return f"""WITH {BASE_CTES},
+{_query_cte(query)},
+syn(term, syn, w) AS (VALUES {vals}),
+expall AS (
+  SELECT term, qf::DOUBLE AS qf FROM q
+  UNION ALL
+  SELECT s.syn AS term, q0.qf * s.w AS qf FROM q q0 JOIN syn s USING (term)
+),
+exp AS (SELECT term, sum(qf) AS qf FROM expall GROUP BY 1),
+{_EXPANDED_SCORE_SQL}"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2580,6 +2735,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # time with tools/check_entry.py).
     return {
         # round-3 new operators first (never driver-attested)
+        "lm_dirichlet_topk": q_lm_dirichlet_topk,
+        "bm25f_topk": q_bm25f_topk,
+        "decay_topk": q_decay_topk,
+        "synonym_topk": q_synonym_topk,
         "collapse_topk": q_collapse_topk,
         "prefix_search": q_prefix_search,
         "fuzzy_search": q_fuzzy_search,
@@ -2682,6 +2841,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     return {
+        "lm_dirichlet_topk": _lm_dirichlet_sql(_LM_QUERY, 10),
+        "bm25f_topk": _bm25f_sql(_BM25F_QUERY, 10),
+        "decay_topk": _decay_topk_sql(_DECAY_QUERY, 10),
+        "synonym_topk": _synonym_topk_sql(_SYN_QUERY, 10),
         "collapse_topk": SQL_COLLAPSE_TOPK,
         "prefix_search": SQL_PREFIX_SEARCH,
         "fuzzy_search": SQL_FUZZY_SEARCH,

@@ -46,6 +46,25 @@ def reference_weight(tf_col: Column, cf_col: Column, n_docs: int) -> Column:
     return tf_col / (cf_col / F.lit(float(n_docs)))
 
 
+LM_MU = 2000.0  # Dirichlet prior mass (Zhai & Lafferty's recommended range)
+
+
+def lm_dirichlet_partial(tf_col: Column, cf_col: Column,
+                         total_tokens: int, mu: float = LM_MU) -> Column:
+    """Matched-term partial of the rank-equivalent Dirichlet query
+    likelihood (Zhai & Lafferty 2001):
+
+        log p(q|d) ~rank~ sum_{t in q∩d} qf_t * ln(1 + tf / (mu * p(t|C)))
+                          + |q| * ln(mu / (dl + mu))
+
+    with p(t|C) = cf_t / total_tokens. This is the sparse-index-friendly
+    form: only postings of MATCHED terms contribute the sum; the second
+    addend is per-document and is attached after the hash-agg
+    (operators/topk.py lm_dirichlet_topk). Pure Column arithmetic."""
+    p_c = cf_col.cast("double") / F.lit(float(total_tokens))
+    return F.log(F.lit(1.0) + tf_col / (F.lit(float(mu)) * p_c))
+
+
 # Pure-Python twins (used by the single-node oracle + inside WAND UDF) ------
 
 def idf_py(df: int, n_docs: int) -> float:

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from searchengine_spark.functions.scoring import bm25_weight, idf_col
-from searchengine_spark.functions.tokenize import term_counts_udf
+from searchengine_spark.functions.tokenize import term_counts_udf, tokenize_udf
 from searchengine_spark.operators.topk import query_terms_df
 
 
@@ -134,6 +134,117 @@ def fielded_topk(
     scored = joined.withColumn("partial", partial)
     return (
         scored.groupBy("doc_id").agg(F.sum("partial").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+# -- true BM25F (Robertson & Zaragoza 2009 §3.3) ------------------------------
+#
+# ``fielded_topk`` above sums per-field BM25 scores (BM25F-simple / the
+# reference's additive two-index model). TRUE BM25F instead accumulates a
+# field-weighted, field-length-normalized tf ACROSS fields and saturates it
+# ONCE with a document-level idf:
+#
+#     tf~(t,d)  = sum_f  w_f * tf_{t,f,d} / (1 - b_f + b_f * fdl/avgfdl_f)
+#     score(d)  = sum_t  qf_t * idf_doc(t) * tf~ / (k1 + tf~)
+#
+# The difference matters: summing saturated per-field scores lets a term
+# saturate per field (double-counting hot terms that appear in both title
+# and body); true BM25F saturates the combined evidence once.
+
+
+def build_split_field_tf(docs: DataFrame, title_len: int = 8,
+                         doc_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """docs -> (doc_id, field, term, tf, fdl) with field ∈ {title, body}:
+    title = the first ``title_len`` tokens, body = the rest — the standard
+    structured-document split for a corpus whose records carry no explicit
+    title column (a transcript turn's lead-in plays the title role).
+    One Arrow tokenize pass, slices + explode stay JVM-side."""
+    toks = docs.select(
+        F.col(doc_col).alias("doc_id"),
+        tokenize_udf(F.col(text_col)).alias("toks"),
+    )
+    stacked = toks.select(
+        "doc_id",
+        F.expr(
+            f"stack(2, 'title', slice(toks, 1, {title_len}),"
+            f" 'body', slice(toks, {title_len + 1}, 2147483647))"
+            " as (field, ftoks)"
+        ),
+    )
+    return (
+        stacked.select(
+            "doc_id", "field", F.size("ftoks").alias("fdl"),
+            F.explode("ftoks").alias("term"),
+        )
+        .groupBy("doc_id", "field", "term", "fdl")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def bm25f_topk(
+    docs: DataFrame,
+    term_stats: DataFrame,
+    n_docs: int,
+    query: str,
+    k: int = 10,
+    title_len: int = 8,
+    weights: dict[str, float] | None = None,
+    b_per_field: dict[str, float] | None = None,
+    k1: float = 1.2,
+) -> DataFrame:
+    """True BM25F top-k -> (doc_id, score), rounded 6dp, rank pinned
+    (score desc, doc_id asc).
+
+    ``term_stats`` supplies the DOCUMENT-level df (title ∪ body covers the
+    full text, so the ordinary lexicon df is exactly BM25F's document df —
+    no second stats build). Plan shape: query-term broadcast semi-join
+    prunes the per-field postings, per-field length normalization is
+    column arithmetic, the cross-field tf~ accumulation is ONE hash agg on
+    (doc_id, term) (map-side combinable), then idf*saturation and the
+    final per-doc agg. avgfdl_f is computed over docs where the field is
+    non-empty (a short turn has no body)."""
+    weights = weights or {"title": 2.0, "body": 1.0}
+    b_per_field = b_per_field or {"title": 0.5, "body": 0.75}
+    spark = docs.sparkSession
+    ftf = build_split_field_tf(docs, title_len)
+
+    scal = (
+        ftf.select("doc_id", "field", "fdl").distinct()
+        .filter(F.col("fdl") > 0)
+        .groupBy("field")
+        .agg(F.avg("fdl").alias("avgfdl"))
+    )
+    qt = query_terms_df(spark, query)
+    stats_q = term_stats.join(F.broadcast(qt.select("term")), "term")
+
+    w_map = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    b_map = F.create_map(*[F.lit(x) for kv in b_per_field.items() for x in kv])
+    b = F.coalesce(b_map[F.col("field")], F.lit(0.75))
+    w = F.coalesce(w_map[F.col("field")], F.lit(1.0))
+
+    wtf_part = w * F.col("tf") / (
+        F.lit(1.0) - b + b * F.col("fdl") / F.col("avgfdl")
+    )
+    wtf = (
+        ftf.join(F.broadcast(qt.select("term")), "term")
+        .join(F.broadcast(scal), "field")
+        .withColumn("_wp", wtf_part)
+        .groupBy("doc_id", "term")
+        .agg(F.sum("_wp").alias("wtf"))
+    )
+    idf = idf_col(F.col("df"), n_docs)
+    partial = (
+        F.col("qf") * idf * F.col("wtf") / (F.lit(float(k1)) + F.col("wtf"))
+    )
+    return (
+        wtf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(stats_q), "term")
+        .withColumn("partial", partial)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("partial"), 6).alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )

@@ -170,3 +170,48 @@ def regex_search_topk(tf_table: DataFrame, term_stats: DataFrame,
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def expand_synonym_terms(query_terms: DataFrame,
+                         synonyms: DataFrame) -> DataFrame:
+    """(term, qf) query weights + (term, syn, weight) synonym table ->
+    (term, qf double): originals at full weight UNION the weighted
+    synonym rows, SUMMED per term (a term reachable both directly and
+    through a synonym accumulates, Lucene SynonymQuery-with-boosts
+    semantics). The synonym table is a curated artifact (thousands of
+    rows at most) — broadcast; the expansion itself is O(|q| * fanout)
+    rows, so downstream cost is that of a slightly longer query, never
+    a corpus-side blowup."""
+    syn_rows = (
+        query_terms.join(F.broadcast(synonyms), "term")
+        .select(F.col("syn").alias("term"),
+                (F.col("qf") * F.col("weight")).alias("qf"))
+    )
+    direct = query_terms.select(
+        "term", F.col("qf").cast("double").alias("qf"))
+    return (
+        direct.unionByName(syn_rows)
+        .groupBy("term")
+        .agg(F.sum("qf").alias("qf"))
+    )
+
+
+def synonym_search_topk(tf_table: DataFrame, term_stats: DataFrame,
+                        scalars: CorpusScalars, query: str,
+                        synonyms: DataFrame, k: int = 10) -> DataFrame:
+    """Query-time synonym expansion: tokenize -> expand against the
+    synonym table -> weighted BM25 OR-union -> top-k (doc_id, score),
+    rounded, rank pinned. A document matching ONLY a synonym of a query
+    term is retrievable (at the synonym's damped weight); exact matches
+    keep full weight. Same score_all_terms plan as every other rewrite
+    query — one broadcast, one postings join, one hash agg."""
+    from searchengine_spark.operators.topk import query_terms_df, score_all_terms
+
+    qt = query_terms_df(tf_table.sparkSession, query)
+    exp = expand_synonym_terms(qt, synonyms)
+    allsc = score_all_terms(tf_table, term_stats, scalars, exp)
+    return (
+        allsc.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -22,9 +22,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from searchengine_spark.functions.scoring import (
+    LM_MU,
     REFERENCE_POSTING_CAP,
     bm25_weight,
     idf_col,
+    lm_dirichlet_partial,
     reference_weight,
 )
 from searchengine_spark.functions.tokenize import tokenize_py
@@ -160,6 +162,88 @@ def attach_doc_meta(topk: DataFrame, doc_map: DataFrame) -> DataFrame:
     return (
         meta.join(F.broadcast(topk), "doc_id")
         .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def lm_dirichlet_topk(
+    tf_table: DataFrame,
+    term_stats: DataFrame,
+    scalars: CorpusScalars,
+    query: str,
+    k: int = 10,
+    mu: float = LM_MU,
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing — the second
+    classical probabilistic scorer next to BM25 (Zhai & Lafferty 2001,
+    rank-equivalent sparse form; see functions/scoring.py
+    lm_dirichlet_partial). Same one-broadcast-one-hash-agg plan as
+    ``score_all``: the per-doc addend |q|*ln(mu/(dl+mu)) rides the SAME
+    aggregate (dl is functionally dependent on doc_id, carried as
+    max(dl)) — no second join against the forward index. Candidate set =
+    docs matching >= 1 query term (OR semantics), identical to BM25.
+    -> top-k (doc_id, score), rounded 6dp, rank pinned
+    (score desc, doc_id asc)."""
+    spark = tf_table.sparkSession
+    qt = query_terms_df(spark, query)
+    q_len = len(tokenize_py(query))  # |q| incl. duplicates — driver-side, no job
+    joined = (
+        tf_table.join(F.broadcast(qt), "term")
+        .join(term_stats, "term")
+    )
+    partial = F.col("qf") * lm_dirichlet_partial(
+        F.col("tf"), F.col("cf"), scalars.sum_dl, mu
+    )
+    per_doc = (
+        joined.withColumn("partial", partial)
+        .groupBy("doc_id")
+        .agg(F.sum("partial").alias("_s"), F.max("dl").alias("_dl"))
+    )
+    doc_term = F.lit(float(q_len)) * F.log(
+        F.lit(float(mu)) / (F.col("_dl") + F.lit(float(mu)))
+    )
+    return (
+        per_doc.select(
+            "doc_id", F.round(F.col("_s") + doc_term, 6).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def decay_topk(
+    tf_table: DataFrame,
+    term_stats: DataFrame,
+    scalars: CorpusScalars,
+    doc_ts: DataFrame,
+    query: str,
+    now_s: float,
+    half_life_s: float,
+    k: int = 10,
+    mode: str = "bm25",
+) -> DataFrame:
+    """Recency-decayed retrieval (Elasticsearch function_score exp-decay
+    analog): final = bm25 * 2^(-(now - ts_s)/half_life). ``doc_ts`` is
+    (doc_id, ts_s double, epoch seconds) — for transcripts that's the
+    doc_map's ts column, so no extra table exists at scale; the decay
+    join touches only the CANDIDATE docs (post-agg, matched >= 1 term),
+    not the corpus, and at 100 TB both sides bucket by doc_id so it's a
+    co-located hash join. Docs missing from ``doc_ts`` are treated as
+    infinitely old (decay 0) but kept, so the operator never silently
+    drops a relevance hit. -> top-k (doc_id, score) rounded, rank pinned."""
+    allsc = score_all(tf_table, term_stats, scalars, query, mode)
+    joined = allsc.join(doc_ts.select("doc_id", "ts_s"), "doc_id", "left")
+    decay = F.when(
+        F.col("ts_s").isNull(), F.lit(0.0)
+    ).otherwise(
+        F.pow(F.lit(2.0),
+              -(F.lit(float(now_s)) - F.col("ts_s")) / F.lit(float(half_life_s)))
+    )
+    return (
+        joined.select(
+            "doc_id", F.round(F.col("score") * decay, 6).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
     )
 
 

@@ -8,11 +8,14 @@ same lifecycle is a stdlib ``ThreadingHTTPServer`` in front of
 ``engine.SearchEngine`` (load once, serve many):
 
     GET /search?q=words&k=10[&mode=wand|term|exhaustive|reference|
-                              phrase|near|prf|prefix|fuzzy|regex][&w=5][&snippets=1]
+                              phrase|near|prf|prefix|fuzzy|regex|
+                              lm|bm25f][&w=5][&snippets=1]
         (mode=phrase: q is an exact phrase; mode=near: q is two terms,
          w the token window; mode=prefix: q is a term prefix, wildcard
          rewrite; mode=fuzzy: q is a single term, levenshtein<=2 rewrite;
-         mode=regex: q is a term regex, df-ranked capped rewrite)
+         mode=regex: q is a term regex, df-ranked capped rewrite;
+         mode=lm: Dirichlet query likelihood; mode=bm25f: true BM25F
+         over the title/body token-window split)
         -> {"query": ..., "k": ..., "took_ms": ..., "results":
             [{"doc_id": ..., "score": ...}, ...]}
     GET /doc?id=123      -> the doc-store row (text + turn metadata)
@@ -38,7 +41,7 @@ from urllib.parse import parse_qs, urlparse
 from searchengine_spark.engine import SearchEngine
 
 _MODES = {"wand", "term", "exhaustive", "reference", "phrase", "near",
-          "prf", "prefix", "fuzzy", "regex"}
+          "prf", "prefix", "fuzzy", "regex", "lm", "bm25f"}
 
 
 def _run_search(engine: SearchEngine, q: str, k: int, mode: str,
@@ -54,6 +57,10 @@ def _run_search(engine: SearchEngine, q: str, k: int, mode: str,
         return engine.search_fuzzy(q, k=k, max_dist=2)
     if mode == "regex":
         return engine.search_regex(q, k=k)
+    if mode == "lm":
+        return engine.search_lm(q, k=k)
+    if mode == "bm25f":
+        return engine.search_bm25f(q, k=k)
     if mode == "phrase":
         return engine.search_phrase(q, k=k)
     if mode == "near":

@@ -316,3 +316,28 @@ def test_exclude_tf_dataframe_form(eng, spark):
         (int(r.doc_id), r.term, int(r.tf))
         for r in exclude_tf(tf, dead_df).collect())
     assert got == want and want
+
+
+def test_new_scorer_modes_mask_tombstones(eng, spark):
+    """search_lm / search_decayed / search_synonyms / search_bm25f all
+    honor the tombstone mask: a deleted top doc disappears from each
+    mode's results."""
+    import time
+
+    dead = _victims(eng, k=2)
+    syn = spark.createDataFrame([("zumuqi", "bababa", 0.5)],
+                                "term string, syn string, weight double")
+    now = time.time() + 86400.0
+    runs = {
+        "lm": lambda: eng.search_lm(QUERY, k=10),
+        "decayed": lambda: eng.search_decayed(QUERY, now_s=now, k=10),
+        "synonyms": lambda: eng.search_synonyms(QUERY, syn, k=10),
+        "bm25f": lambda: eng.search_bm25f(QUERY, k=10),
+    }
+    before = {name: _ranked(run()) for name, run in runs.items()}
+    for name, rows in before.items():
+        assert rows, f"{name} must hit before deletion"
+    eng.delete_docs(dead)
+    for name, run in runs.items():
+        got = {d for d, _ in _ranked(run())}
+        assert not got & set(dead), f"{name} leaked a tombstoned doc"

@@ -305,3 +305,19 @@ def test_search_collapse_exact_vs_convs(served):
             for r in exact] == \
         [(r.conv_id, round(r.conv_score, 6), r.best_doc_id)
          for r in approx]
+
+
+def test_search_lm_and_bm25f_modes(served):
+    eng, base = served
+    q = "babace badi"
+    for mode, direct_fn in (
+        ("lm", lambda: eng.search_lm(q, k=5)),
+        ("bm25f", lambda: eng.search_bm25f(q, k=5)),
+    ):
+        status, body = _get(f"{base}/search?q={q.replace(' ', '+')}&k=5&mode={mode}")
+        assert status == 200 and body["mode"] == mode
+        direct = [(int(r["doc_id"]), round(float(r["score"]), 9))
+                  for r in direct_fn().collect()]
+        via_http = [(r["doc_id"], round(r["score"], 9))
+                    for r in body["results"]]
+        assert via_http == direct and direct
