@@ -626,6 +626,18 @@ def query_bench(spark) -> tuple[dict, dict]:
     timed("near_topk_indexed", lambda: near_topk_indexed(
         pos_idx, fwd_dl, top_terms[0], top_terms[-1],
         idx.scalars.n_docs, idx.scalars.avgdl, window=3, k=TOPK).collect())
+    # ordered proximity ("a b"~slop): same plan family as NEAR
+    from searchengine_spark.operators.positional import (
+        slop_topk,
+        slop_topk_indexed,
+    )
+
+    timed("slop_topk", lambda: slop_topk(
+        raw_docs_for_pos, fwd_dl, top_terms[0], top_terms[-1],
+        idx.scalars.n_docs, idx.scalars.avgdl, slop=3, k=TOPK).collect())
+    timed("slop_topk_indexed", lambda: slop_topk_indexed(
+        pos_idx, fwd_dl, top_terms[0], top_terms[-1],
+        idx.scalars.n_docs, idx.scalars.avgdl, slop=3, k=TOPK).collect())
     pos_idx.unpersist()
 
     # block-max pruning effectiveness counters (recorded, not timed):
@@ -771,6 +783,35 @@ def query_bench(spark) -> tuple[dict, dict]:
     timed("fuzzy_search", lambda: fuzzy_search_topk(
         idx.tf_table, idx.term_stats, idx.scalars, top_terms[0] + "x",
         k=TOPK, max_dist=2, n_expand=3).collect())
+    # alternative scorers over the same postings: all must cost like the
+    # exhaustive BM25 plan (one broadcast, one postings join, one agg)
+    from searchengine_spark.operators.lexicon import synonym_search_topk
+    from searchengine_spark.operators.topk import (
+        decay_topk,
+        lm_dirichlet_topk,
+    )
+
+    timed("lm_dirichlet_topk", lambda: lm_dirichlet_topk(
+        idx.tf_table, idx.term_stats, idx.scalars, single_q,
+        k=TOPK).collect())
+    bench_ts = raw_docs.select(
+        "doc_id",
+        (F.lit(0.0) + (F.col("doc_id") % 10000).cast("double") * 60.0
+         ).alias("ts_s"))
+    timed("decay_topk", lambda: decay_topk(
+        idx.tf_table, idx.term_stats, idx.scalars, bench_ts, single_q,
+        now_s=600000.0, half_life_s=86400.0, k=TOPK).collect())
+    syn_df = spark.createDataFrame(
+        [(top_terms[0], top_terms[1], 0.5), (top_terms[2], top_terms[3], 0.3)],
+        "term string, syn string, weight double")
+    timed("synonym_topk", lambda: synonym_search_topk(
+        idx.tf_table, idx.term_stats, idx.scalars, single_q, syn_df,
+        k=TOPK).collect())
+    from searchengine_spark.operators.fielded import bm25f_topk
+
+    timed("bm25f_topk", lambda: bm25f_topk(
+        raw_docs, idx.term_stats, idx.scalars.n_docs, single_q,
+        k=TOPK).collect())
     # field collapsing: exact grouped top-k over the matching set
     from searchengine_spark.operators.collapse import collapse_topk
 

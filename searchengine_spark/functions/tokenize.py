@@ -95,6 +95,50 @@ def term_counts_udf(texts: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+_FIELD_POSTING_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("field", T.StringType(), False),
+            T.StructField("term", T.StringType(), False),
+            T.StructField("tf", T.IntegerType(), False),
+            T.StructField("fdl", T.IntegerType(), False),
+        ]
+    )
+)
+
+
+@F.pandas_udf(_FIELD_POSTING_TYPE)
+def split_field_postings_udf(texts: pd.Series, title_len: pd.Series) -> pd.Series:
+    """(text, title_len) -> array<struct<field,term,tf,fdl>>: per-field
+    term frequencies for the title/body token-window split (title = first
+    ``title_len`` admitted tokens, body = rest) in ONE Arrow round-trip.
+    A Column-side slice formulation would re-inline the tokenize UDF once
+    per reference (Catalyst CollapseProject duplicates Python UDFs), so
+    the whole split lives in one pass — the same shape as
+    ``term_counts_udf``."""
+    findall = _LETTER_RUN.findall
+    out = []
+    for t, tl in zip(texts, title_len):
+        if not t:
+            out.append([])
+            continue
+        toks = [
+            r.lower() for r in findall(t)
+            if r.isascii() and len(r) <= MAX_TOKEN_LEN
+        ]
+        tl = int(tl)
+        rows = []
+        for fname, ftoks in (("title", toks[:tl]), ("body", toks[tl:])):
+            if not ftoks:
+                continue
+            fdl = len(ftoks)
+            rows.extend(
+                (fname, term, tf, fdl) for term, tf in Counter(ftoks).items()
+            )
+        out.append(rows)
+    return pd.Series(out)
+
+
 # ---------------------------------------------------------------------------
 # SQL-expressible equivalents (for DuckDB / Spark SQL oracle checks).
 # Split on non-letter runs, keep 1..20-char pure a-zA-Z tokens, lowercase.

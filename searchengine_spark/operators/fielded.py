@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from searchengine_spark.functions.scoring import bm25_weight, idf_col
-from searchengine_spark.functions.tokenize import term_counts_udf, tokenize_udf
+from searchengine_spark.functions.tokenize import term_counts_udf
 from searchengine_spark.operators.topk import query_terms_df
 
 
@@ -161,26 +161,22 @@ def build_split_field_tf(docs: DataFrame, title_len: int = 8,
     title = the first ``title_len`` tokens, body = the rest — the standard
     structured-document split for a corpus whose records carry no explicit
     title column (a transcript turn's lead-in plays the title role).
-    One Arrow tokenize pass, slices + explode stay JVM-side."""
-    toks = docs.select(
+    ONE Arrow pass per document (tokenize + split + per-field tf in a
+    single UDF — a Column-side slice would re-inline the tokenizer per
+    reference); the explode is JVM-side, no aggregation shuffle."""
+    from searchengine_spark.functions.tokenize import split_field_postings_udf
+
+    fwd = docs.select(
         F.col(doc_col).alias("doc_id"),
-        tokenize_udf(F.col(text_col)).alias("toks"),
+        F.explode(
+            split_field_postings_udf(F.col(text_col), F.lit(title_len))
+        ).alias("p"),
     )
-    stacked = toks.select(
-        "doc_id",
-        F.expr(
-            f"stack(2, 'title', slice(toks, 1, {title_len}),"
-            f" 'body', slice(toks, {title_len + 1}, 2147483647))"
-            " as (field, ftoks)"
-        ),
-    )
-    return (
-        stacked.select(
-            "doc_id", "field", F.size("ftoks").alias("fdl"),
-            F.explode("ftoks").alias("term"),
-        )
-        .groupBy("doc_id", "field", "term", "fdl")
-        .agg(F.count("*").alias("tf"))
+    return fwd.select(
+        "doc_id", F.col("p.field").alias("field"),
+        F.col("p.term").alias("term"),
+        F.col("p.tf").cast("long").alias("tf"),
+        F.col("p.fdl").cast("long").alias("fdl"),
     )
 
 

@@ -247,3 +247,52 @@ def test_budget_select_no_global_sort_before_cumsum(spark):
     assert "rangepartitioning" in plan.lower(), plan
     # the cumsum itself is the Arrow pass, not a window
     assert "MapInPandas" in tree, tree
+
+
+def test_new_scorer_plans(spark, docs):
+    """Round-3 scorer family plan hygiene: every scorer keeps the
+    query-side broadcast, nothing cartesians, the final top-k stays a
+    bounded TakeOrderedAndProject, and nothing drags a per-row Python
+    UDF into the scoring path."""
+    from searchengine_spark.operators.fielded import bm25f_topk
+    from searchengine_spark.operators.forward import (
+        CorpusScalars,
+        build_forward,
+        build_term_stats,
+        explode_forward,
+    )
+    from searchengine_spark.operators.lexicon import synonym_search_topk
+    from searchengine_spark.operators.topk import (
+        decay_topk,
+        lm_dirichlet_topk,
+    )
+
+    fwd = build_forward(docs)
+    tf = explode_forward(fwd)
+    stats = build_term_stats(tf)
+    scal = CorpusScalars.compute(fwd)
+    ts = docs.select("doc_id", (F.col("doc_id") * 60.0).alias("ts_s"))
+    syn = spark.createDataFrame([("alpha", "beta", 0.5)],
+                                "term string, syn string, weight double")
+
+    for df in (
+        lm_dirichlet_topk(tf, stats, scal, "alpha beta", k=5),
+        decay_topk(tf, stats, scal, ts, "alpha beta",
+                   now_s=1e6, half_life_s=3600.0, k=5),
+        synonym_search_topk(tf, stats, scal, "alpha", syn, k=5),
+        bm25f_topk(docs, stats, 50, "alpha beta", k=5),
+    ):
+        tree = _tree(_plan(df))
+        assert "CartesianProduct" not in tree, tree
+        assert "BroadcastHashJoin" in tree, tree
+        assert "TakeOrderedAndProject" in tree, tree
+
+
+def test_bm25f_single_tokenize_pass(spark, docs):
+    """The title/body split must tokenize each document ONCE (one
+    ArrowEval over the text), not once per field."""
+    from searchengine_spark.operators.fielded import build_split_field_tf
+
+    tree = _tree(_plan(build_split_field_tf(docs)))
+    n_eval = tree.count("ArrowEvalPython")
+    assert n_eval == 1, tree
