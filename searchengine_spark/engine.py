@@ -410,6 +410,36 @@ class SearchEngine:
         return decay_topk(tf, self.term_stats, self.scalars, doc_ts,
                           query, now_s=now_s, half_life_s=half_life_s, k=k)
 
+    def search_filtered(self, query: str, field: str, value,
+                        k: int = 10) -> DataFrame:
+        """Metadata-filtered BM25 (operators/topk.py filtered_topk): rank
+        only docs whose doc-store ``field`` equals ``value`` (role, lang,
+        conv_id, ...). The predicate pushes down to the doc-store scan;
+        corpus stats stay global. Tombstones masked."""
+        from searchengine_spark.operators.deletes import exclude_tf
+        from searchengine_spark.operators.topk import filtered_topk
+
+        if field not in self.doc_map.columns:
+            raise ValueError(f"doc store has no {field!r} column")
+        tf = exclude_tf(tf_from_doc_map(self.doc_map),
+                        set(self.tombstones()))
+        allowed = self.doc_map.filter(
+            F.col(field) == value).select("doc_id")
+        return filtered_topk(tf, self.term_stats, self.scalars, allowed,
+                             query, k=k)
+
+    def count_hits(self, query: str, require_all: bool = False) -> int:
+        """Total hits for ``query`` without ranking (OR semantics by
+        default; ``require_all=True`` = every distinct term present).
+        Tombstones masked."""
+        from searchengine_spark.operators.deletes import exclude_tf
+        from searchengine_spark.operators.topk import match_count
+
+        tf = exclude_tf(tf_from_doc_map(self.doc_map),
+                        set(self.tombstones()))
+        return int(match_count(tf, query, require_all=require_all)
+                   .collect()[0]["n_hits"])
+
     def search_synonyms(self, query: str, synonyms: DataFrame,
                         k: int = 10) -> DataFrame:
         """Query-time weighted synonym expansion (operators/lexicon.py):

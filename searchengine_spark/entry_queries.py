@@ -2723,6 +2723,65 @@ exp AS (SELECT term, sum(qf) AS qf FROM expall GROUP BY 1),
 {_EXPANDED_SCORE_SQL}"""
 
 
+_FILTER_QUERY = "spark join fast"
+_FILTER_LANG = "en"
+
+
+def q_filtered_topk(spark, sf_dir):
+    """Metadata-filtered BM25 (operators/topk.py filtered_topk): rank
+    only lang='en' docs; left-semi filter BEFORE scoring, global corpus
+    stats (standard filtered-search semantics)."""
+    from searchengine_spark.operators.topk import filtered_topk
+
+    docs, _, tf_table, stats, scalars = _index_parts(spark, sf_dir)
+    allowed = docs.filter(F.col("lang") == _FILTER_LANG).select("doc_id")
+    return filtered_topk(tf_table, stats, scalars, allowed,
+                         _FILTER_QUERY, k=10)
+
+
+def _filtered_topk_sql(query: str, k: int = 10) -> str:
+    return f"""WITH {BASE_CTES},
+{_query_cte(query)},
+allowed AS (SELECT doc_id FROM documents WHERE lang = '{_FILTER_LANG}'),
+partial AS (
+  SELECT tf.doc_id, {_BM25_W} AS w
+  FROM tf JOIN allowed USING (doc_id)
+          JOIN q USING (term) JOIN stats s USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN consts c
+)
+SELECT doc_id, round(sum(w), 6) AS score FROM partial GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+_COUNT_QUERY = "spark join fast"
+
+
+def q_match_count(spark, sf_dir):
+    """Total-hit counts (operators/topk.py match_count): one row with
+    the OR-semantics candidate count and the AND-semantics count."""
+    from searchengine_spark.operators.topk import match_count
+
+    _, _, tf_table, *_ = _index_parts(spark, sf_dir)
+    any_n = match_count(tf_table, _COUNT_QUERY, require_all=False)
+    all_n = (match_count(tf_table, _COUNT_QUERY, require_all=True)
+             .withColumnRenamed("n_hits", "n_hits_all"))
+    return any_n.crossJoin(all_n)
+
+
+def _match_count_sql(query: str) -> str:
+    return f"""WITH {BASE_CTES},
+{_query_cte(query)},
+matched AS (SELECT DISTINCT tf.doc_id, tf.term FROM tf JOIN q USING (term)),
+anyc AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_hits FROM matched),
+allc AS (
+  SELECT count(*)::BIGINT AS n_hits_all FROM (
+    SELECT doc_id FROM matched GROUP BY doc_id
+    HAVING count(DISTINCT term) = (SELECT count(*) FROM q)
+  )
+)
+SELECT anyc.n_hits, allc.n_hits_all FROM anyc CROSS JOIN allc"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2739,6 +2798,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25f_topk": q_bm25f_topk,
         "decay_topk": q_decay_topk,
         "synonym_topk": q_synonym_topk,
+        "filtered_topk": q_filtered_topk,
+        "match_count": q_match_count,
         "collapse_topk": q_collapse_topk,
         "prefix_search": q_prefix_search,
         "fuzzy_search": q_fuzzy_search,
@@ -2845,6 +2906,8 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "bm25f_topk": _bm25f_sql(_BM25F_QUERY, 10),
         "decay_topk": _decay_topk_sql(_DECAY_QUERY, 10),
         "synonym_topk": _synonym_topk_sql(_SYN_QUERY, 10),
+        "filtered_topk": _filtered_topk_sql(_FILTER_QUERY, 10),
+        "match_count": _match_count_sql(_COUNT_QUERY),
         "collapse_topk": SQL_COLLAPSE_TOPK,
         "prefix_search": SQL_PREFIX_SEARCH,
         "fuzzy_search": SQL_FUZZY_SEARCH,

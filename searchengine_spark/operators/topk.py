@@ -247,6 +247,60 @@ def decay_topk(
     )
 
 
+def filtered_topk(
+    tf_table: DataFrame,
+    term_stats: DataFrame,
+    scalars: CorpusScalars,
+    allowed_docs: DataFrame,
+    query: str,
+    k: int = 10,
+    mode: str = "bm25",
+) -> DataFrame:
+    """Metadata-filtered retrieval (Lucene filtered-query analog): rank
+    only docs in ``allowed_docs`` (a doc_id frame, typically a pushed-down
+    predicate over the doc store — lang = 'en', a ts range, role =
+    'user'). The filter is a LEFT SEMI join applied to the postings
+    BEFORE scoring, so filtered-out docs never enter the aggregate; at
+    100 TB both sides are bucketed by doc_id so the semi join co-locates.
+    Corpus statistics stay GLOBAL (standard filtered-search semantics —
+    idf/avgdl describe the corpus, the filter restricts the result set).
+    -> top-k (doc_id, score) rounded 6dp, rank pinned."""
+    tf = tf_table.join(allowed_docs.select("doc_id"), "doc_id", "left_semi")
+    allsc = score_all(tf, term_stats, scalars, query, mode)
+    return (
+        allsc.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def match_count(
+    tf_table: DataFrame,
+    query: str,
+    require_all: bool = False,
+) -> DataFrame:
+    """Total-hit counting without ranking (Lucene TotalHitCountCollector):
+    one row (n_hits long). ``require_all=False`` counts docs matching ANY
+    query term (OR semantics — the candidate-set size every top-k here
+    ranks over); ``require_all=True`` counts docs containing EVERY
+    distinct query term (AND semantics). Plan: broadcast the query terms,
+    one distinct/grouped agg over the matched postings — no scoring, no
+    sort, no window."""
+    spark = tf_table.sparkSession
+    qt = query_terms_df(spark, query)
+    n_terms = qt.count()
+    matched = tf_table.join(F.broadcast(qt.select("term")), "term")
+    if require_all:
+        per_doc = matched.groupBy("doc_id").agg(
+            F.countDistinct("term").alias("_nt"))
+        hits = per_doc.filter(F.col("_nt") == n_terms)
+        out = hits.agg(F.count("*").cast("long").alias("n_hits"))
+    else:
+        out = matched.agg(
+            F.countDistinct("doc_id").cast("long").alias("n_hits"))
+    return out
+
+
 def score_topk_after(
     tf_table: DataFrame,
     term_stats: DataFrame,

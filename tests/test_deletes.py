@@ -341,3 +341,15 @@ def test_new_scorer_modes_mask_tombstones(eng, spark):
     for name, run in runs.items():
         got = {d for d, _ in _ranked(run())}
         assert not got & set(dead), f"{name} leaked a tombstoned doc"
+
+
+def test_filtered_and_count_mask_tombstones(eng):
+    dead = _victims(eng, k=1)
+    n_before = eng.count_hits(QUERY)
+    field_val = eng.doc_map.filter(
+        F.col("doc_id") == dead[0]).select("role").first()["role"]
+    eng.delete_docs(dead)
+    assert eng.count_hits(QUERY) == n_before - 1
+    got = {d for d, _ in
+           _ranked(eng.search_filtered(QUERY, "role", field_val, k=50))}
+    assert dead[0] not in got

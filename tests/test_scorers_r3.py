@@ -226,3 +226,37 @@ def test_synonym_expansion_accumulates_weights(spark, index):
     exp = {r.term: r.qf for r in expand_synonym_terms(qt, syn).collect()}
     # merge reachable directly (1.0) AND via join's synonym (0.5) -> 1.5
     assert exp == {"join": pytest.approx(1.0), "merge": pytest.approx(1.5)}
+
+
+# -- filtered retrieval + hit counting ----------------------------------------
+
+def test_filtered_topk_restricts_but_keeps_global_stats(index, spark):
+    from searchengine_spark.operators.topk import filtered_topk, score_all
+
+    _, tf, stats, scal = index
+    allowed = spark.createDataFrame([(0,), (5,)], "doc_id long")
+    got = {r.doc_id: r.score for r in
+           filtered_topk(tf, stats, scal, allowed,
+                         "spark join fast", k=10).collect()}
+    assert set(got) == {0, 5}
+    # scores equal the UNfiltered scores of the same docs (global stats)
+    full = {r.doc_id: round(r.score, 6)
+            for r in score_all(tf, stats, scal, "spark join fast").collect()}
+    for d in got:
+        assert got[d] == pytest.approx(full[d], abs=1e-6)
+
+
+def test_match_count_or_and_semantics(index):
+    from searchengine_spark.operators.topk import match_count
+
+    _, tf, _, _ = index
+    # corpus: spark in {0,4,5}, join in {0,1,5}, fast in {0,2,5}
+    or_n = match_count(tf, "spark join fast").collect()[0]["n_hits"]
+    and_n = match_count(tf, "spark join fast",
+                        require_all=True).collect()[0]["n_hits"]
+    assert or_n == 5   # docs 0,1,2,4,5
+    assert and_n == 2  # docs 0,5 have all three
+    # duplicate query terms collapse (distinct-term AND)
+    and_dup = match_count(tf, "spark spark join fast",
+                          require_all=True).collect()[0]["n_hits"]
+    assert and_dup == and_n
