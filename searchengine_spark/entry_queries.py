@@ -2584,19 +2584,19 @@ def q_lm_dirichlet_topk(spark, sf_dir):
 
 
 def _lm_dirichlet_sql(query: str, k: int = 10, mu: float = _LM_MU) -> str:
-    from searchengine_spark.functions.tokenize import tokenize_py
-
-    q_len = len(tokenize_py(query))
+    # |q| = IN-VOCAB query tokens (OOV terms have p(t|C)=0 — dropped on
+    # both sides of the rank equivalence, matching the operator)
     return f"""WITH {BASE_CTES},
 {_query_cte(query)},
 tot AS (SELECT sum(dl)::DOUBLE AS c FROM dl),
+qlen AS (SELECT sum(qf)::DOUBLE AS n FROM q JOIN stats USING (term)),
 partial AS (
   SELECT tf.doc_id, q.qf * ln(1.0 + tf.tf / ({mu} * (s.cf::DOUBLE / t.c))) AS w
   FROM tf JOIN q USING (term) JOIN stats s USING (term) CROSS JOIN tot t
 ),
 agg AS (SELECT doc_id, sum(w) AS s FROM partial GROUP BY 1)
-SELECT a.doc_id, round(a.s + {float(q_len)} * ln({mu} / (dl.dl + {mu})), 6) AS score
-FROM agg a JOIN dl ON dl.doc_id = a.doc_id
+SELECT a.doc_id, round(a.s + ql.n * ln({mu} / (dl.dl + {mu})), 6) AS score
+FROM agg a JOIN dl ON dl.doc_id = a.doc_id CROSS JOIN qlen ql
 ORDER BY score DESC, a.doc_id ASC LIMIT {k}"""
 
 

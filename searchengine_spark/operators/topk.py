@@ -181,11 +181,18 @@ def lm_dirichlet_topk(
     aggregate (dl is functionally dependent on doc_id, carried as
     max(dl)) — no second join against the forward index. Candidate set =
     docs matching >= 1 query term (OR semantics), identical to BM25.
+    |q| counts IN-VOCAB query tokens only: an out-of-vocabulary term has
+    p(t|C) = 0, where the full likelihood is degenerate, so OOV tokens
+    are dropped on both sides of the rank equivalence (one |q|-row
+    lexicon lookup — the same cost class as every scorer's stats join).
     -> top-k (doc_id, score), rounded 6dp, rank pinned
     (score desc, doc_id asc)."""
     spark = tf_table.sparkSession
     qt = query_terms_df(spark, query)
-    q_len = len(tokenize_py(query))  # |q| incl. duplicates — driver-side, no job
+    q_len = (
+        qt.join(term_stats.select("term"), "term")
+        .agg(F.sum("qf")).collect()[0][0]
+    ) or 0
     joined = (
         tf_table.join(F.broadcast(qt), "term")
         .join(term_stats, "term")
