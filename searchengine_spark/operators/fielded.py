@@ -202,17 +202,45 @@ def bm25f_topk(
     (doc_id, term) (map-side combinable), then idf*saturation and the
     final per-doc agg. avgfdl_f is computed over docs where the field is
     non-empty (a short turn has no body)."""
-    weights = weights or {"title": 2.0, "body": 1.0}
-    b_per_field = b_per_field or {"title": 0.5, "body": 0.75}
-    spark = docs.sparkSession
     ftf = build_split_field_tf(docs, title_len)
+    return bm25f_topk_indexed(ftf, term_stats, n_docs, query, k=k,
+                              weights=weights, b_per_field=b_per_field,
+                              k1=k1)
 
-    scal = (
-        ftf.select("doc_id", "field", "fdl").distinct()
+
+def field_avg_lengths(field_tf: DataFrame) -> DataFrame:
+    """(field, avgfdl) over docs where the field is non-empty — the
+    2-row field-statistics table; precompute it alongside a persisted
+    field_tf layout so queries skip the distinct-agg."""
+    return (
+        field_tf.select("doc_id", "field", "fdl").distinct()
         .filter(F.col("fdl") > 0)
         .groupBy("field")
         .agg(F.avg("fdl").alias("avgfdl"))
     )
+
+
+def bm25f_topk_indexed(
+    field_tf: DataFrame,
+    term_stats: DataFrame,
+    n_docs: int,
+    query: str,
+    k: int = 10,
+    weights: dict[str, float] | None = None,
+    b_per_field: dict[str, float] | None = None,
+    k1: float = 1.2,
+    field_scal: DataFrame | None = None,
+) -> DataFrame:
+    """BM25F over a prebuilt ``build_split_field_tf`` table — the serving
+    path: persist the field-split postings once (an index artifact, like
+    the positional layout) and every query skips the corpus re-tokenize;
+    with the layout partitioned by term the query-term semi-join prunes
+    to the query terms' rows. ``field_scal`` (field, avgfdl) can be the
+    precomputed 2-row stats table; derived from ``field_tf`` if absent."""
+    weights = weights or {"title": 2.0, "body": 1.0}
+    b_per_field = b_per_field or {"title": 0.5, "body": 0.75}
+    spark = field_tf.sparkSession
+    scal = field_scal if field_scal is not None else field_avg_lengths(field_tf)
     qt = query_terms_df(spark, query)
     stats_q = term_stats.join(F.broadcast(qt.select("term")), "term")
 
@@ -225,7 +253,7 @@ def bm25f_topk(
         F.lit(1.0) - b + b * F.col("fdl") / F.col("avgfdl")
     )
     wtf = (
-        ftf.join(F.broadcast(qt.select("term")), "term")
+        field_tf.join(F.broadcast(qt.select("term")), "term")
         .join(F.broadcast(scal), "field")
         .withColumn("_wp", wtf_part)
         .groupBy("doc_id", "term")

@@ -260,3 +260,30 @@ def test_match_count_or_and_semantics(index):
     and_dup = match_count(tf, "spark spark join fast",
                           require_all=True).collect()[0]["n_hits"]
     assert and_dup == and_n
+
+
+def test_bm25f_indexed_matches_corpus_pass(spark, tmp_path):
+    """The persisted field-split layout answers identically to the
+    corpus-pass plan after a parquet roundtrip, and the query-term
+    filter reaches the scan."""
+    from searchengine_spark.operators.fielded import (
+        bm25f_topk,
+        bm25f_topk_indexed,
+        build_split_field_tf,
+    )
+
+    rows = [(i, f"target alpha beta w{i} gamma delta eps zeta eta theta "
+                f"target iota") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = build_term_stats(explode_forward(build_forward(docs)))
+
+    path = str(tmp_path / "ftf")
+    build_split_field_tf(docs).write.mode("overwrite").parquet(path)
+    ftf = spark.read.parquet(path)
+
+    direct = [(r.doc_id, r.score) for r in
+              bm25f_topk(docs, stats, 20, "target gamma", k=20).collect()]
+    indexed = [(r.doc_id, r.score) for r in
+               bm25f_topk_indexed(ftf, stats, 20, "target gamma",
+                                  k=20).collect()]
+    assert indexed == direct and direct
