@@ -257,6 +257,38 @@ class SearchEngine:
             .orderBy(F.desc("n"), F.asc("value"))
         )
 
+    def significant_terms(self, query: str, k: int = 100,
+                          n_top: int = 10, min_doc_count: int = 2,
+                          mode: str = "wand") -> DataFrame:
+        """JLH significant terms of the query's top-k hit set
+        (operators/sigterms.py) — "what is this result set about". The
+        foreground postings come from the (tombstone-masked) doc store;
+        background df is the global term_stats, matching the pinned-
+        until-rebuild stats discipline of every other scorer."""
+        from searchengine_spark.operators.deletes import exclude_tf
+        from searchengine_spark.operators.sigterms import significant_terms
+
+        hits = self.search(query, k=k, mode=mode).select("doc_id")
+        tf = exclude_tf(tf_from_doc_map(self.doc_map),
+                        set(self.tombstones()))
+        return significant_terms(tf, self.term_stats, self.scalars.n_docs,
+                                 hits, n_top=n_top,
+                                 min_doc_count=min_doc_count)
+
+    def facet_histogram(self, query: str, interval_s: float,
+                        k: int = 100, mode: str = "wand",
+                        origin_s: float = 0.0) -> DataFrame:
+        """Date-histogram facet over the top-k hit set
+        (operators/facets.py): bucket the hits' doc-store ``ts`` by a
+        fixed interval in seconds and count per bucket — the ES
+        date_histogram analog for "when were the matching turns said"."""
+        from searchengine_spark.operators.facets import facet_histogram
+
+        hits = self.search(query, k=k, mode=mode).select("doc_id")
+        doc_ts = self.doc_map.select(
+            "doc_id", F.unix_timestamp("ts").cast("double").alias("ts_s"))
+        return facet_histogram(hits, doc_ts, interval_s, origin=origin_s)
+
     def index_stats(self) -> dict:
         """Serving-surface snapshot of the loaded index: corpus scalars
         plus vocabulary size and posting count from the (already

@@ -2782,6 +2782,209 @@ allc AS (
 SELECT anyc.n_hits, allc.n_hits_all FROM anyc CROSS JOIN allc"""
 
 
+# -- round-3: result-set analytics + ranking evaluation --------------------
+
+_SIG_QUERY = "spark join fast"
+_SIG_K = 100
+_SIG_TOP = 10
+_SIG_MIN_DF = 2
+
+
+def q_significant_terms(spark, sf_dir):
+    """JLH significant terms over the query's top-100 hit set
+    (operators/sigterms.py) — the ES significant_terms aggregation:
+    terms unusually frequent in the hits relative to the corpus. The
+    hit set is the same rounded-then-ranked BM25 top-k the facet query
+    uses, so both engines derive an identical foreground."""
+    from searchengine_spark.operators.sigterms import significant_terms
+
+    _, _, tf_table, stats, scalars = _index_parts(spark, sf_dir)
+    hits = (
+        score_all(tf_table, stats, scalars, _SIG_QUERY, mode="bm25")
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_SIG_K)
+        .select("doc_id")
+    )
+    return significant_terms(tf_table, stats, scalars.n_docs, hits,
+                             n_top=_SIG_TOP, min_doc_count=_SIG_MIN_DF)
+
+
+def _sig_terms_sql(query: str = _SIG_QUERY, k: int = _SIG_K,
+                   n_top: int = _SIG_TOP, min_df: int = _SIG_MIN_DF) -> str:
+    return f"""WITH {BASE_CTES},
+{_query_cte(query)},
+partial AS (
+  SELECT tf.doc_id, {_BM25_W} AS w
+  FROM tf JOIN q USING (term) JOIN stats s USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN consts c
+),
+top AS (SELECT doc_id FROM (
+  SELECT doc_id, round(sum(w), 6) AS score FROM partial GROUP BY doc_id
+  ORDER BY score DESC, doc_id ASC LIMIT {k})),
+fgsize AS (SELECT count(*)::DOUBLE AS m FROM top),
+fg AS (SELECT term, count(*)::BIGINT AS fg_df
+       FROM tf JOIN top USING (doc_id) GROUP BY 1
+       HAVING count(*) >= {min_df})
+SELECT f.term, f.fg_df, s.df,
+       round(((f.fg_df / g.m) - (s.df::DOUBLE / c.n))
+             * ((f.fg_df / g.m) / (s.df::DOUBLE / c.n)), 6) AS score
+FROM fg f JOIN stats s USING (term) CROSS JOIN consts c CROSS JOIN fgsize g
+ORDER BY score DESC, term ASC LIMIT {n_top}"""
+
+
+_RE_QUERIES = ["spark join fast", "dup", "window agg stream"]
+_RE_K = 10
+_RE_CAP = 1000
+
+
+def q_rank_eval(spark, sf_dir):
+    """Per-query nDCG@10 / MRR / P@10 (operators/rankeval.py — the ES
+    _rank_eval analog) of the BM25 batch ranking against graded
+    judgments mined from the reference scorer's top-10 (rel 3 for ranks
+    1-3, 2 for 4-6, 1 for 7-10) — the scorer-A/B harness, measuring how
+    far BM25 drifts from the reference ranking. Both rankings are
+    rounded-then-ranked so the two engines agree on every rank."""
+    from searchengine_spark.functions.tokenize import tokenize_udf
+    from searchengine_spark.operators.rankeval import rank_eval
+    from searchengine_spark.operators.topk import _partial_weight
+
+    _, _, tf_table, stats, scalars = _index_parts(spark, sf_dir)
+    queries = spark.createDataFrame(
+        list(enumerate(_RE_QUERIES)), "query_id int, query string")
+    qterms = (
+        queries.select("query_id",
+                       F.explode(tokenize_udf(F.col("query"))).alias("term"))
+        .groupBy("query_id", "term")
+        .agg(F.count("*").alias("qf"))
+    )
+    joined = tf_table.join(F.broadcast(qterms), "term").join(stats, "term")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+
+    bm = (
+        _partial_weight(joined, scalars, "bm25")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("partial"), 6).alias("score"))
+    )
+    ranking = (
+        bm.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _RE_K)
+        .select("query_id", "rank", "doc_id")
+    )
+
+    cw = Window.partitionBy("query_id", "term").orderBy(
+        F.desc("tf"), F.asc("doc_id"))
+    capped = (
+        joined.withColumn("_rn", F.row_number().over(cw))
+        .filter(F.col("_rn") <= _RE_CAP)
+        .drop("_rn")
+    )
+    ref = (
+        _partial_weight(capped, scalars, "reference")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("partial"), 6).alias("score"))
+    )
+    judgments = (
+        ref.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RE_K)
+        .select(
+            "query_id", "doc_id",
+            F.when(F.col("rn") <= 3, 3)
+            .when(F.col("rn") <= 6, 2)
+            .otherwise(1).alias("rel"),
+        )
+    )
+    return rank_eval(ranking, judgments, k=_RE_K)
+
+
+def _rank_eval_sql(k: int = _RE_K, cap: int = _RE_CAP) -> str:
+    return f"""WITH {BASE_CTES},
+{_query_cte(*_RE_QUERIES)},
+partial AS (
+  SELECT q.query_id, tf.doc_id, {_BM25_W} AS w
+  FROM tf JOIN q USING (term) JOIN stats s USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN consts c
+),
+scored AS (SELECT query_id, doc_id, round(sum(w), 6) AS score FROM partial GROUP BY 1, 2),
+ranking AS (SELECT query_id, doc_id, rank FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored) WHERE rank <= {k}),
+rcap AS (SELECT query_id, doc_id, tf, qf, cf FROM (
+  SELECT q.query_id, tf.doc_id, tf.tf, q.qf, s.cf,
+         row_number() OVER (PARTITION BY q.query_id, tf.term
+                            ORDER BY tf.tf DESC, tf.doc_id ASC) AS rn
+  FROM tf JOIN q USING (term) JOIN stats s USING (term)) WHERE rn <= {cap}),
+rpart AS (SELECT query_id, doc_id, (tf / (cf::DOUBLE / c.n)) * qf AS w
+          FROM rcap CROSS JOIN consts c),
+rscored AS (SELECT query_id, doc_id, round(sum(w), 6) AS score FROM rpart GROUP BY 1, 2),
+judg AS (SELECT query_id, doc_id,
+                CASE WHEN rn <= 3 THEN 3 WHEN rn <= 6 THEN 2 ELSE 1 END AS rel
+  FROM (SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+        FROM rscored) WHERE rn <= {k}),
+hit AS (SELECT r.query_id, r.rank, coalesce(j.rel, 0)::DOUBLE AS rel
+        FROM ranking r LEFT JOIN judg j
+          ON r.query_id = j.query_id AND r.doc_id = j.doc_id),
+perq AS (SELECT query_id,
+    sum((power(2.0, rel) - 1.0) / log2(rank + 1.0)) AS dcg,
+    coalesce(max(CASE WHEN rel > 0 THEN 1.0 / rank END), 0.0) AS mrr,
+    sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)::DOUBLE / {k} AS p_at_k
+  FROM hit GROUP BY 1),
+ideal AS (SELECT query_id, sum((power(2.0, rel) - 1.0) / log2(rn + 1.0)) AS idcg
+  FROM (SELECT query_id, rel::DOUBLE AS rel,
+               row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id ASC) AS rn
+        FROM judg) WHERE rn <= {k} GROUP BY 1)
+SELECT p.query_id,
+       round(CASE WHEN i.idcg > 0 THEN p.dcg / i.idcg ELSE 0.0 END, 6) AS ndcg,
+       round(p.mrr, 6) AS mrr, round(p.p_at_k, 6) AS p_at_k
+FROM perq p LEFT JOIN ideal i USING (query_id)
+ORDER BY query_id ASC"""
+
+
+_HIST_INTERVAL = 3600.0
+
+
+def q_facet_histogram(spark, sf_dir):
+    """Date-histogram facet over the top-100 hit set
+    (operators/facets.py — the ES date_histogram analog): hourly bucket
+    counts of the hits' timestamps. The documents proxy carries no ts,
+    so the gate derives the same deterministic one as decay_topk
+    (base + (doc_id % 10000) * 60 s) on BOTH engines; transcripts use
+    the doc_map ts (engine.facet_histogram)."""
+    from searchengine_spark.operators.facets import facet_histogram
+
+    docs, _, tf_table, stats, scalars = _index_parts(spark, sf_dir)
+    hits = (
+        score_all(tf_table, stats, scalars, _FACET_QUERY, mode="bm25")
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_FACET_K)
+        .select("doc_id")
+    )
+    doc_ts = docs.select(
+        "doc_id",
+        (F.lit(float(_DECAY_BASE))
+         + (F.col("doc_id") % 10000).cast("double") * F.lit(60.0)).alias("ts_s"),
+    )
+    return facet_histogram(hits, doc_ts, _HIST_INTERVAL)
+
+
+def _facet_histogram_sql(query: str = _FACET_QUERY, k: int = _FACET_K,
+                         interval: float = _HIST_INTERVAL) -> str:
+    return f"""WITH top AS (
+  SELECT doc_id FROM ({_bm25_topk_sql(query, k)})
+),
+ts AS (SELECT doc_id,
+              ({float(_DECAY_BASE)} + (doc_id % 10000) * 60.0) AS ts_s
+       FROM documents)
+SELECT floor(ts_s / {interval})::BIGINT AS bucket,
+       floor(ts_s / {interval}) * {interval} AS bucket_start,
+       count(*)::BIGINT AS n
+FROM ts JOIN top USING (doc_id)
+GROUP BY 1, 2 ORDER BY bucket ASC"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2794,6 +2997,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # time with tools/check_entry.py).
     return {
         # round-3 new operators first (never driver-attested)
+        "significant_terms": q_significant_terms,
+        "rank_eval": q_rank_eval,
+        "facet_histogram": q_facet_histogram,
         "lm_dirichlet_topk": q_lm_dirichlet_topk,
         "bm25f_topk": q_bm25f_topk,
         "decay_topk": q_decay_topk,
@@ -2836,12 +3042,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_meta": q_payload_meta,
         "media_features": q_media_features,
         "media_decode": q_media_decode,
-        "media_resize": q_media_resize,
-        "video_frame_sample": q_video_frame_sample,
         "windowed_counts": q_windowed_counts,
         "sessionized_counts": q_sessionized_counts,
         "user_top_events": q_user_top_events,
-        "event_props_stats": q_event_props_stats,
         # core engine re-attestation (first four touched this round:
         # tombstone bitmap, parallel term-WAND, shingle-df cap, CC alarm)
         "wand_topk_deletes": q_wand_topk_deletes,
@@ -2849,10 +3052,15 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "dedup_components": q_dedup_components,
         # variants demoted just past the ~50-name gate window: each has an
-        # in-window twin exercising the same operator against the same
-        # oracle (span_dups; sessionized_counts)
+        # in-window twin exercising the same operator/plumbing against the
+        # same oracle family (span_dups; sessionized_counts; media_decode
+        # covers the multimodal mapInPandas path resize/frame-sample ride;
+        # event_props_stats shares events.py with user_top_events)
         "span_dup_flags": q_span_dup_flags,
         "sessionized_counts_bucketed": q_sessionized_counts_bucketed,
+        "media_resize": q_media_resize,
+        "video_frame_sample": q_video_frame_sample,
+        "event_props_stats": q_event_props_stats,
         "term_stats": q_term_stats,
         "corpus_scalars": q_corpus_scalars,
         "tf_postings": q_tf_postings,
@@ -2905,6 +3113,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     return {
+        "significant_terms": _sig_terms_sql(),
+        "rank_eval": _rank_eval_sql(),
+        "facet_histogram": _facet_histogram_sql(),
         "lm_dirichlet_topk": _lm_dirichlet_sql(_LM_QUERY, 10),
         "bm25f_topk": _bm25f_sql(_BM25F_QUERY, 10),
         "decay_topk": _decay_topk_sql(_DECAY_QUERY, 10),

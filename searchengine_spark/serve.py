@@ -21,6 +21,8 @@ same lifecycle is a stdlib ``ThreadingHTTPServer`` in front of
     GET /doc?id=123      -> the doc-store row (text + turn metadata)
     GET /suggest?prefix=re&k=5   -> autocomplete over the lexicon
     GET /suggest?term=sprak&k=5  -> did-you-mean (levenshtein <= 2)
+    GET /sigterms?q=words&k=100&n=10 -> JLH significant terms of the hit set
+    GET /histogram?q=words&interval=3600 -> date-histogram facet of the hits
     GET /healthz         -> {"status": "ok", "n_docs": N}
 
 Spark's driver is single-process, so request handlers serialize their
@@ -144,6 +146,38 @@ def make_handler(engine: SearchEngine, lock: threading.Lock):
                         "query": q, "field": field, "k": k,
                         "facets": [{"value": r["value"], "n": int(r["n"])}
                                    for r in rows],
+                    })
+                elif url.path == "/sigterms":
+                    q = (qs.get("q") or [""])[0]
+                    k = int((qs.get("k") or ["100"])[0])
+                    n_top = int((qs.get("n") or ["10"])[0])
+                    with lock:
+                        rows = engine.significant_terms(
+                            q, k=k, n_top=n_top).collect()
+                    self._reply(200, {
+                        "query": q, "k": k,
+                        "terms": [{"term": r["term"], "fg_df": int(r["fg_df"]),
+                                   "df": int(r["df"]),
+                                   "score": float(r["score"])}
+                                  for r in rows],
+                    })
+                elif url.path == "/histogram":
+                    q = (qs.get("q") or [""])[0]
+                    k = int((qs.get("k") or ["100"])[0])
+                    interval = float((qs.get("interval") or ["3600"])[0])
+                    with lock:
+                        rows = engine.facet_histogram(q, interval,
+                                                      k=k).collect()
+                    self._reply(200, {
+                        "query": q, "k": k, "interval_s": interval,
+                        "buckets": [
+                            {"bucket": (int(r["bucket"])
+                                        if r["bucket"] is not None else None),
+                             "bucket_start": (float(r["bucket_start"])
+                                              if r["bucket_start"] is not None
+                                              else None),
+                             "n": int(r["n"])}
+                            for r in rows],
                     })
                 elif url.path == "/stats":
                     with lock:

@@ -116,3 +116,36 @@ def test_stats_scan_prunes_columns(engine):
     readschema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert readschema and "dl" in readschema[0]
     assert "text" not in readschema[0] and "terms" not in readschema[0]
+
+
+def test_significant_terms_surfaces_query_topic(engine):
+    """Every scored term occurs in at least min_doc_count hits, scores
+    rank descending, and the joins stay broadcast. The query term itself
+    is present in every hit (fg_pct = 1) but may rank low — it is also
+    corpus-frequent, which is exactly the lift JLH discounts — so assert
+    its membership in the un-truncated output, not the top-10."""
+    w = vocab()
+    df = engine.significant_terms(w[0], k=20, n_top=10, min_doc_count=2)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan
+    rows = df.collect()
+    assert rows
+    full = engine.significant_terms(w[0], k=20, n_top=100000,
+                                    min_doc_count=2).collect()
+    qrow = {r.term: r for r in full}[w[0]]
+    assert qrow.fg_df == 20  # in every hit
+    assert all(r.fg_df >= 2 and r.fg_df <= 20 for r in rows)
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_facet_histogram_covers_hits(engine):
+    """Hourly histogram bucket counts over the top-k hit set sum to the
+    number of hits, and bucket_start is bucket * interval."""
+    w = vocab()
+    n_hits = engine.search(w[0], k=20).count()
+    rows = engine.facet_histogram(w[0], 3600.0, k=20).collect()
+    assert sum(r.n for r in rows) == n_hits
+    for r in rows:
+        if r.bucket is not None:
+            assert r.bucket_start == r.bucket * 3600.0

@@ -123,3 +123,52 @@ def test_synonym_equals_manual_expansion(spark, corpus):
     want = {r.doc_id: round(r.score, 6) for r in
             score_all_terms(tf, stats, scal, exp).collect()}
     assert got == want
+
+
+_RANKS = st.integers(min_value=1, max_value=6)
+_JUDG = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=1),   # query_id
+              st.integers(min_value=0, max_value=9),   # doc_id
+              st.integers(min_value=0, max_value=3)),  # rel
+    min_size=0, max_size=8)
+
+
+@settings(**_SETTINGS)
+@given(st.permutations(list(range(5))), _JUDG)
+def test_rank_eval_properties(spark, perm, judg):
+    """nDCG/MRR/P@k live in [0,1] for any ranking/judgment pair, nDCG
+    hits 1.0 when the ranking lists the judged docs in ideal order, and
+    duplicate judgments are tolerated via last-write-agnostic bounds."""
+    from searchengine_spark.operators.rankeval import rank_eval
+
+    ranking = spark.createDataFrame(
+        [(0, r + 1, d) for r, d in enumerate(perm)],
+        "query_id int, rank int, doc_id long")
+    # dedupe judgments per (query, doc) keeping max rel (well-formed input)
+    jmap = {}
+    for qid, d, rel in judg:
+        jmap[(qid, d)] = max(jmap.get((qid, d), 0), rel)
+    jrows = [(q, d, r) for (q, d), r in jmap.items() if r > 0]
+    if not jrows:
+        jrows = [(0, perm[0], 1)]
+    judgments = spark.createDataFrame(
+        jrows, "query_id int, doc_id long, rel int")
+
+    out = {r.query_id: r for r in rank_eval(ranking, judgments, k=5).collect()}
+    assert set(out) == {0}
+    r0 = out[0]
+    assert 0.0 <= r0.ndcg <= 1.0 + 1e-9
+    assert 0.0 <= r0.mrr <= 1.0
+    assert 0.0 <= r0.p_at_k <= 1.0
+
+    # ideal ranking of ALL of query 0's judged docs (rel desc, doc asc —
+    # the same order the IDCG window uses) -> ndcg exactly 1
+    q0 = sorted(((d, r) for (q, d), r in jmap.items() if q == 0 and r > 0),
+                key=lambda x: (-x[1], x[0]))[:5]
+    if q0:
+        ideal = spark.createDataFrame(
+            [(0, i + 1, d) for i, (d, _) in enumerate(q0)],
+            "query_id int, rank int, doc_id long")
+        best = rank_eval(ideal, judgments, k=5).collect()
+        b0 = [r for r in best if r.query_id == 0][0]
+        assert b0.ndcg == pytest.approx(1.0, abs=1e-6)

@@ -321,3 +321,21 @@ def test_search_lm_and_bm25f_modes(served):
         via_http = [(r["doc_id"], round(r["score"], 9))
                     for r in body["results"]]
         assert via_http == direct and direct
+
+
+def test_sigterms_endpoint(served):
+    eng, base = served
+    status, body = _get(f"{base}/sigterms?q=bababa&k=20&n=5")
+    assert status == 200
+    assert body["terms"] and len(body["terms"]) <= 5
+    api = eng.significant_terms("bababa", k=20, n_top=5).collect()
+    assert [(t["term"], t["fg_df"]) for t in body["terms"]] == \
+        [(r.term, r.fg_df) for r in api]
+
+
+def test_histogram_endpoint(served):
+    eng, base = served
+    status, body = _get(f"{base}/histogram?q=bababa&k=20&interval=3600")
+    assert status == 200
+    n_hits = eng.search("bababa", k=20).count()
+    assert sum(b["n"] for b in body["buckets"]) == n_hits
