@@ -460,6 +460,20 @@ class SearchEngine:
         return filtered_topk(tf, self.term_stats, self.scalars, allowed,
                              query, k=k)
 
+    def search_msm(self, query: str, min_should_match: int = 2,
+                   k: int = 10) -> DataFrame:
+        """Minimum-should-match top-k (operators/topk.py msm_topk): rank
+        only docs matching >= m distinct query terms — the ES
+        minimum_should_match knob; precision dial between OR and AND for
+        long queries. Tombstones masked."""
+        from searchengine_spark.operators.deletes import exclude_tf
+        from searchengine_spark.operators.topk import msm_topk
+
+        tf = exclude_tf(tf_from_doc_map(self.doc_map),
+                        set(self.tombstones()))
+        return msm_topk(tf, self.term_stats, self.scalars, query,
+                        min_should_match=min_should_match, k=k)
+
     def count_hits(self, query: str, require_all: bool = False) -> int:
         """Total hits for ``query`` without ranking (OR semantics by
         default; ``require_all=True`` = every distinct term present).

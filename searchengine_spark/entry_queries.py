@@ -2942,6 +2942,38 @@ FROM perq p LEFT JOIN ideal i USING (query_id)
 ORDER BY query_id ASC"""
 
 
+_MSM_QUERY = "spark join fast"
+_MSM_M = 2
+
+
+def q_msm_topk(spark, sf_dir):
+    """Minimum-should-match retrieval (operators/topk.py msm_topk — the
+    ES minimum_should_match knob): BM25 top-k over only the docs that
+    match at least 2 of the 3 query terms; the distinct-term count rides
+    the same hash agg as the score."""
+    from searchengine_spark.operators.topk import msm_topk
+
+    _, _, tf_table, stats, scalars = _index_parts(spark, sf_dir)
+    return msm_topk(tf_table, stats, scalars, _MSM_QUERY,
+                    min_should_match=_MSM_M, k=10)
+
+
+def _msm_topk_sql(query: str = _MSM_QUERY, m: int = _MSM_M,
+                  k: int = 10) -> str:
+    return f"""WITH {BASE_CTES},
+{_query_cte(query)},
+partial AS (
+  SELECT tf.doc_id, tf.term, {_BM25_W} AS w
+  FROM tf JOIN q USING (term) JOIN stats s USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN consts c
+),
+agg AS (SELECT doc_id, count(DISTINCT term)::BIGINT AS n_matched,
+               round(sum(w), 6) AS score
+        FROM partial GROUP BY 1)
+SELECT doc_id, n_matched, score FROM agg WHERE n_matched >= {m}
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
 _HIST_INTERVAL = 3600.0
 
 
@@ -2985,6 +3017,40 @@ FROM ts JOIN top USING (doc_id)
 GROUP BY 1, 2 ORDER BY bucket ASC"""
 
 
+_PERC_QUERIES = [(0, "spark join"), (1, "dup"), (2, "window agg stream")]
+
+
+def q_percolate_hits(spark, sf_dir):
+    """Percolation (operators/percolate.py — the ES percolate-query /
+    Lucene reverse-search analog): match every document against three
+    STORED queries under AND semantics; one (doc, query) row per
+    triggered alert. The compiled query table is broadcast; the only
+    shuffle is the (doc, query) count agg."""
+    from searchengine_spark.operators.percolate import (
+        compile_queries,
+        percolate,
+    )
+
+    queries = spark.createDataFrame(_PERC_QUERIES,
+                                    "query_id int, query string")
+    return percolate(_docs(spark, sf_dir), compile_queries(queries))
+
+
+def _percolate_sql() -> str:
+    vals = ", ".join(f"({i}, '{q}')" for i, q in _PERC_QUERIES)
+    return f"""WITH tokd AS (SELECT doc_id, {_TOKS_TEXT} AS t FROM documents),
+dterms AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM tokd),
+qraw(query_id, query) AS (VALUES {vals}),
+qt AS (SELECT DISTINCT query_id, unnest({_TOKS_QUERY}) AS term FROM qraw),
+req AS (SELECT query_id, count(*)::BIGINT AS n_required FROM qt GROUP BY 1),
+hits AS (SELECT d.doc_id, q.query_id, count(*)::BIGINT AS n_matched
+         FROM dterms d JOIN qt q USING (term) GROUP BY 1, 2)
+SELECT h.doc_id, h.query_id, h.n_matched, r.n_required
+FROM hits h JOIN req r USING (query_id)
+WHERE h.n_matched >= r.n_required
+ORDER BY doc_id ASC, query_id ASC"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3000,6 +3066,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_terms": q_significant_terms,
         "rank_eval": q_rank_eval,
         "facet_histogram": q_facet_histogram,
+        "msm_topk": q_msm_topk,
+        "percolate_hits": q_percolate_hits,
         "lm_dirichlet_topk": q_lm_dirichlet_topk,
         "bm25f_topk": q_bm25f_topk,
         "decay_topk": q_decay_topk,
@@ -3033,10 +3101,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": q_facet_counts,
         "quality_quantiles": q_quality_quantiles,
         "source_mix": q_source_mix,
-        "source_term_cardinality": q_source_term_cardinality,
         "pii_scan": q_pii_scan,
         "source_divergence": q_source_divergence,
-        "quality_score": q_quality,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_fingerprint,
         "payload_meta": q_payload_meta,
@@ -3055,12 +3121,16 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window twin exercising the same operator/plumbing against the
         # same oracle family (span_dups; sessionized_counts; media_decode
         # covers the multimodal mapInPandas path resize/frame-sample ride;
-        # event_props_stats shares events.py with user_top_events)
+        # event_props_stats shares events.py with user_top_events;
+        # quality_quantiles covers profiling.py for source_term_cardinality;
+        # clean_corpus's in-window funnel exercises the quality stage)
         "span_dup_flags": q_span_dup_flags,
         "sessionized_counts_bucketed": q_sessionized_counts_bucketed,
         "media_resize": q_media_resize,
         "video_frame_sample": q_video_frame_sample,
         "event_props_stats": q_event_props_stats,
+        "source_term_cardinality": q_source_term_cardinality,
+        "quality_score": q_quality,
         "term_stats": q_term_stats,
         "corpus_scalars": q_corpus_scalars,
         "tf_postings": q_tf_postings,
@@ -3116,6 +3186,8 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "significant_terms": _sig_terms_sql(),
         "rank_eval": _rank_eval_sql(),
         "facet_histogram": _facet_histogram_sql(),
+        "msm_topk": _msm_topk_sql(),
+        "percolate_hits": _percolate_sql(),
         "lm_dirichlet_topk": _lm_dirichlet_sql(_LM_QUERY, 10),
         "bm25f_topk": _bm25f_sql(_BM25F_QUERY, 10),
         "decay_topk": _decay_topk_sql(_DECAY_QUERY, 10),

@@ -308,6 +308,55 @@ def match_count(
     return out
 
 
+def msm_topk(
+    tf_table: DataFrame,
+    term_stats: DataFrame,
+    scalars: CorpusScalars,
+    query: str,
+    min_should_match: int = 2,
+    k: int = 10,
+    mode: str = "bm25",
+) -> DataFrame:
+    """Minimum-should-match retrieval (the Elasticsearch/Lucene
+    ``minimum_should_match`` knob): BM25 top-k over only the docs that
+    match at least ``min_should_match`` DISTINCT query terms — the
+    precision dial between OR (=1) and AND (=n) semantics that long
+    queries need (an OR-union over 8 terms ranks one-term fluke matches;
+    AND over 8 terms misses everything). Generalizes boolquery's '+'
+    operator from per-term to count-based.
+
+    Plan: the matched-term count rides the SAME hash aggregate as the
+    score accumulation (one extra agg column, zero extra shuffles). It is
+    a plain ``count(*)``, NOT ``countDistinct`` — (doc_id, term) is
+    already unique in the tf relation and the query side pre-aggregates
+    duplicate terms into qf, so distinct would only buy Spark's
+    expand/double-aggregate plan for nothing. A doc's partials never
+    survive to the sort unless it qualifies. ``min_should_match`` is
+    clamped to the query's distinct term count (ES semantics: msm > n
+    would match nothing useful).
+    Output: (doc_id, n_matched, score) rounded 6dp, rank pinned
+    (score desc, doc_id asc).
+    """
+    spark = tf_table.sparkSession
+    qt = query_terms_df(spark, query)
+    n_terms = qt.count()
+    m = max(1, min(int(min_should_match), n_terms))
+    joined = (
+        tf_table.join(F.broadcast(qt), "term")
+        .join(term_stats, "term")
+    )
+    scored = _partial_weight(joined, scalars, mode)
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_matched"),
+        F.round(F.sum("partial"), 6).alias("score"),
+    )
+    return (
+        per_doc.filter(F.col("n_matched") >= m)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def score_topk_after(
     tf_table: DataFrame,
     term_stats: DataFrame,

@@ -9,13 +9,14 @@ same lifecycle is a stdlib ``ThreadingHTTPServer`` in front of
 
     GET /search?q=words&k=10[&mode=wand|term|exhaustive|reference|
                               phrase|near|prf|prefix|fuzzy|regex|
-                              lm|bm25f][&w=5][&snippets=1]
+                              lm|bm25f|msm][&w=5][&m=2][&snippets=1]
         (mode=phrase: q is an exact phrase; mode=near: q is two terms,
          w the token window; mode=prefix: q is a term prefix, wildcard
          rewrite; mode=fuzzy: q is a single term, levenshtein<=2 rewrite;
          mode=regex: q is a term regex, df-ranked capped rewrite;
          mode=lm: Dirichlet query likelihood; mode=bm25f: true BM25F
-         over the title/body token-window split)
+         over the title/body token-window split; mode=msm: rank only
+         docs matching >= m distinct query terms)
         -> {"query": ..., "k": ..., "took_ms": ..., "results":
             [{"doc_id": ..., "score": ...}, ...]}
     GET /doc?id=123      -> the doc-store row (text + turn metadata)
@@ -43,16 +44,18 @@ from urllib.parse import parse_qs, urlparse
 from searchengine_spark.engine import SearchEngine
 
 _MODES = {"wand", "term", "exhaustive", "reference", "phrase", "near",
-          "prf", "prefix", "fuzzy", "regex", "lm", "bm25f"}
+          "prf", "prefix", "fuzzy", "regex", "lm", "bm25f", "msm"}
 
 
 def _run_search(engine: SearchEngine, q: str, k: int, mode: str,
-                window: int):
+                window: int, msm: int = 2):
     """Dispatch one /search request to the engine method for ``mode``
     (phrase/near are positional plans over the doc store; the rest are
-    posting-list plans)."""
+    posting-list plans). mode=msm takes ``&m=`` as min_should_match."""
     if mode == "prf":
         return engine.search_prf(q, k=k)
+    if mode == "msm":
+        return engine.search_msm(q, min_should_match=msm, k=k)
     if mode == "prefix":
         return engine.search_wildcard(q, k=k)
     if mode == "fuzzy":
@@ -106,6 +109,7 @@ def make_handler(engine: SearchEngine, lock: threading.Lock):
                         return
                     want_snip = (qs.get("snippets") or ["0"])[0] == "1"
                     window = int((qs.get("w") or ["5"])[0])
+                    msm = int((qs.get("m") or ["2"])[0])
                     t0 = time.perf_counter()
                     with lock:  # one Spark action at a time (driver JVM)
                         if want_snip:
@@ -114,7 +118,8 @@ def make_handler(engine: SearchEngine, lock: threading.Lock):
                             )
                             from pyspark.sql import functions as F
 
-                            topk = _run_search(engine, q, k, mode, window)
+                            topk = _run_search(engine, q, k, mode, window,
+                                               msm)
                             joined = engine.doc_map.select(
                                 "doc_id", "text").join(
                                 F.broadcast(topk), "doc_id")
@@ -123,7 +128,7 @@ def make_handler(engine: SearchEngine, lock: threading.Lock):
                                              F.asc("doc_id")).collect())
                         else:
                             rows = _run_search(engine, q, k, mode,
-                                               window).collect()
+                                               window, msm).collect()
                     self._reply(200, {
                         "query": q, "k": k, "mode": mode,
                         "took_ms": round((time.perf_counter() - t0) * 1e3, 1),

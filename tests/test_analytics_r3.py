@@ -145,3 +145,80 @@ def test_facet_histogram_origin_shift(spark):
     rows = facet_histogram(hits, attr, 60.0, origin=100.0).collect()
     assert [(r.bucket, r.bucket_start, r.n) for r in rows] == [
         (0, 100.0, 1), (1, 160.0, 1)]
+
+
+# -- percolation ------------------------------------------------------------
+
+def test_percolate_and_vs_or(spark):
+    from searchengine_spark.operators.percolate import (
+        compile_queries,
+        percolate,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"),
+         (1, "alpha alpha alpha"),      # multiplicity counts once
+         (2, "beta delta"),
+         (3, "unrelated words")],
+        "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "delta")], "query_id int, query string")
+
+    # AND semantics (default): q0 needs alpha AND beta
+    hits = percolate(docs, compile_queries(queries)).collect()
+    got = {(r.doc_id, r.query_id): (r.n_matched, r.n_required) for r in hits}
+    assert got == {(0, 0): (2, 2), (2, 1): (1, 1)}
+
+    # OR semantics: msm=1 — doc 1's triple alpha still counts once
+    hits1 = percolate(docs, compile_queries(queries, min_should_match=1))
+    got1 = {(r.doc_id, r.query_id): r.n_matched for r in hits1.collect()}
+    assert got1 == {(0, 0): 2, (1, 0): 1, (2, 0): 1, (2, 1): 1}
+
+
+def test_percolate_msm_clamps(spark):
+    from searchengine_spark.operators.percolate import (
+        compile_queries,
+        percolate,
+    )
+
+    docs = spark.createDataFrame([(0, "alpha beta")],
+                                 "doc_id long, text string")
+    queries = spark.createDataFrame([(0, "alpha")],
+                                    "query_id int, query string")
+    # msm=5 > the query's 1 term -> clamps to 1, still matches
+    out = percolate(docs, compile_queries(queries, min_should_match=5))
+    assert [(r.doc_id, r.query_id) for r in out.collect()] == [(0, 0)]
+
+
+def test_percolate_stream_equals_batch(spark, tmp_path_factory):
+    from searchengine_spark.operators.percolate import (
+        compile_queries,
+        percolate,
+        percolate_stream,
+    )
+    from searchengine_spark.sources.synth import transcripts_df
+
+    base = tmp_path_factory.mktemp("perc")
+    in_dir, out_dir, ckpt = (str(base / d) for d in ("in", "out", "ckpt"))
+
+    docs = transcripts_df(spark, n_convs=30, seed=7, partitions=2)
+    docs.write.mode("overwrite").parquet(in_dir)
+
+    queries = spark.createDataFrame(
+        [(0, docs.select("text").first()["text"].split()[0])],
+        "query_id int, query string")
+    compiled = compile_queries(queries, min_should_match=1)
+
+    q = percolate_stream(spark, in_dir, compiled, out_dir, ckpt)
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r.doc_id, r.query_id)
+        for r in spark.read.parquet(out_dir).collect())
+    want = sorted(
+        (r.doc_id, r.query_id)
+        for r in percolate(
+            spark.read.parquet(in_dir).withColumn(
+                "doc_id", F.xxhash64("conv_id", "turn_idx")),
+            compiled).collect())
+    assert got == want and got

@@ -296,3 +296,33 @@ def test_bm25f_single_tokenize_pass(spark, docs):
     tree = _tree(_plan(build_split_field_tf(docs)))
     n_eval = tree.count("ArrowEvalPython")
     assert n_eval == 1, tree
+
+
+def test_msm_plan_rides_score_agg(spark, docs):
+    """msm_topk's matched-term count must ride the score's hash agg: no
+    Expand operator (the countDistinct rewrite this deliberately avoids)
+    and EXACTLY as many shuffle exchanges as the plain score_topk plan —
+    the count column is free."""
+    from searchengine_spark.operators.forward import (
+        CorpusScalars,
+        build_forward,
+        build_term_stats,
+        explode_forward,
+    )
+    from searchengine_spark.operators.topk import msm_topk, score_topk
+
+    fwd = build_forward(docs)
+    tf = explode_forward(fwd)
+    stats = build_term_stats(tf)
+    scalars = CorpusScalars.compute(fwd)
+
+    def _shuffles(df):
+        tree = _tree(_plan(df))
+        return tree, [ln for ln in tree.splitlines()
+                      if "Exchange" in ln and "BroadcastExchange" not in ln]
+
+    mtree, mex = _shuffles(
+        msm_topk(tf, stats, scalars, "alpha beta", min_should_match=2))
+    btree, bex = _shuffles(score_topk(tf, stats, scalars, "alpha beta"))
+    assert "Expand" not in mtree, mtree
+    assert len(mex) == len(bex), mtree + "\n====\n" + btree

@@ -287,3 +287,38 @@ def test_bm25f_indexed_matches_corpus_pass(spark, tmp_path):
                bm25f_topk_indexed(ftf, stats, 20, "target gamma",
                                   k=20).collect()]
     assert indexed == direct and direct
+
+
+def test_msm_topk_count_gate(index):
+    """msm=2 on 'spark join fast' keeps only docs with >=2 distinct query
+    terms; msm=1 == plain OR ranking; msm clamps to the AND set."""
+    from searchengine_spark.operators.topk import msm_topk, score_topk
+
+    _, tf, stats, scalars = index
+    q = "spark join fast"
+
+    out2 = msm_topk(tf, stats, scalars, q, min_should_match=2, k=10).collect()
+    got2 = {r.doc_id: r.n_matched for r in out2}
+    # doc 0: spark+join+fast (3); doc 5: join+fast+spark (3); docs 1/2/4
+    # match exactly one term each
+    assert got2 == {0: 3, 5: 3}
+
+    or_rank = [r.doc_id for r in
+               score_topk(tf, stats, scalars, q, k=10).collect()]
+    msm1 = [r.doc_id for r in
+            msm_topk(tf, stats, scalars, q, min_should_match=1,
+                     k=10).collect()]
+    assert msm1 == or_rank
+
+    # msm > n_terms clamps to AND semantics (never "matches nothing")
+    clamped = {r.doc_id for r in
+               msm_topk(tf, stats, scalars, q, min_should_match=99,
+                        k=10).collect()}
+    assert clamped == {0, 5}
+
+    # scores agree with the OR-union scores of the same docs (the gate
+    # restricts, it does not rescale)
+    or_scores = {r.doc_id: round(r.score, 6) for r in
+                 score_topk(tf, stats, scalars, q, k=10).collect()}
+    for r in out2:
+        assert r.score == pytest.approx(or_scores[r.doc_id], abs=2e-6)

@@ -339,3 +339,11 @@ def test_histogram_endpoint(served):
     assert status == 200
     n_hits = eng.search("bababa", k=20).count()
     assert sum(b["n"] for b in body["buckets"]) == n_hits
+
+
+def test_msm_mode(served):
+    eng, base = served
+    status, body = _get(f"{base}/search?q=bababa+dadada&k=5&mode=msm&m=2")
+    assert status == 200
+    api = eng.search_msm("bababa dadada", min_should_match=2, k=5).collect()
+    assert [r["doc_id"] for r in body["results"]] == [r.doc_id for r in api]
