@@ -70,6 +70,7 @@ sys.path.insert(0, _REPO_DIR)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "150000"))
+QUERY_REPEATS = int(os.environ.get("SPARK_GRAFT_QUERY_REPEATS", "2"))
 SCALE_N = (2, 8)
 # 80k convs ~= 334k turns: at 14k rows/partition that is 24 doc
 # partitions = 3 task waves at width 8 and 12 at width 2, so tail
@@ -569,9 +570,21 @@ def query_bench(spark) -> tuple[dict, dict]:
     timings: dict[str, float] = {}
 
     def timed(name, fn):
-        t0 = time.perf_counter()
-        r = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # Pure query thunks run QUERY_REPEATS times and record the MIN —
+        # the standard steal-resistant estimator on a shared host (one
+        # co-tenant burst otherwise inflates a whole query phase, which is
+        # exactly what polluted an early r3 record). Build steps
+        # ("*index_build*") stay single-run: they persist state, so a
+        # second run would measure the cache, not the build.
+        reps = 1 if "index_build" in name else max(1, QUERY_REPEATS)
+        best = None
+        r = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            r = fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         return r
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
@@ -693,7 +706,9 @@ def query_bench(spark) -> tuple[dict, dict]:
         "salted_rows": int(srow["salted_rows"]),
         "term_rows": int(srow["rows"]),
         "terms": int(srow["terms"]),
-        "bound_held": bool(int(srow["max_row"]) <= skew_df_target),
+        "max_over_target": round(int(srow["max_row"]) / skew_df_target, 4),
+        "bound_held": _salting_bound_held(int(srow["max_row"]),
+                                          skew_df_target),
         "doc_layout_max_row_postings": int(docseg_max),
     }
 
@@ -816,6 +831,11 @@ def query_bench(spark) -> tuple[dict, dict]:
     timed("synonym_topk", lambda: synonym_search_topk(
         idx.tf_table, idx.term_stats, idx.scalars, single_q, syn_df,
         k=TOPK).collect())
+    from searchengine_spark.operators.topk import msm_topk
+
+    timed("msm_topk", lambda: msm_topk(
+        idx.tf_table, idx.term_stats, idx.scalars, single_q,
+        min_should_match=2, k=TOPK).collect())
     from searchengine_spark.operators.fielded import bm25f_topk
 
     timed("bm25f_topk", lambda: bm25f_topk(
@@ -934,6 +954,18 @@ def _materialized_index(docs):
     return idx
 
 
+def _salting_bound_held(max_row: int, df_target: int) -> bool:
+    """The salting claim with its real tolerance: hash(doc_id) % n_salts
+    distributes a hot term's df multinomially, so the max (term, salt)
+    group is df_target UP TO sampling noise — std ≈ sqrt(df_target) per
+    group, max over ~n_salts groups ≈ target + 3-4 std. Allow 4 std
+    (floored at 5% for small targets); a real bound violation (a bug in
+    salt_plan's ceil math) would overshoot by a whole target multiple,
+    not a few percent."""
+    tol = max(0.05, 4.0 * (df_target ** 0.5) / df_target)
+    return max_row <= df_target * (1.0 + tol)
+
+
 def skew_scale_bench(spark) -> tuple[dict, dict]:
     """Salting-bound evidence at the scaling corpus size (~334k Zipfian
     turns, 4x the sf0.1 documents corpus): build the salted term layout
@@ -975,7 +1007,8 @@ def skew_scale_bench(spark) -> tuple[dict, dict]:
             "max_term_row_postings": int(row["max_row"]),
             "salted_rows": int(row["salted"]),
             "term_rows": int(row["rows"]),
-            "bound_held": bool(int(row["max_row"]) <= df_target),
+            "max_over_target": round(int(row["max_row"]) / df_target, 4),
+            "bound_held": _salting_bound_held(int(row["max_row"]), df_target),
         }
     }
     return timings, extras

@@ -34,8 +34,10 @@ def rank_eval(
 
     ``ranking``: (query_id, rank, doc_id) with rank 1-based (extra columns
     ignored; rows with rank > k are dropped). ``judgments``: (query_id,
-    doc_id, rel) with integer grades, rel > 0 meaning relevant. Unjudged
-    ranked docs count as rel = 0 (the standard convention).
+    doc_id, rel) with integer grades, rel > 0 meaning relevant, unique
+    per (query_id, doc_id) — the ES ratings contract; a duplicate
+    judgment would double-count its ranked hit. Unjudged ranked docs
+    count as rel = 0 (the standard convention).
 
     Output: (query_id, ndcg, mrr, p_at_k), floats rounded to 6dp,
     ordered by query_id. Queries present in ``ranking`` but with no
