@@ -474,6 +474,20 @@ class SearchEngine:
         return msm_topk(tf, self.term_stats, self.scalars, query,
                         min_should_match=min_should_match, k=k)
 
+    def explain(self, query: str, doc_id: int) -> DataFrame:
+        """Score explanation for one doc (operators/topk.py explain_score
+        — the ES _explain analog): per-term (qf, tf, df, dl, partial)
+        rows summing to exactly the doc's reported BM25 score. The
+        relevance-debugging surface; tombstones masked (a deleted doc
+        explains to zero rows)."""
+        from searchengine_spark.operators.deletes import exclude_tf
+        from searchengine_spark.operators.topk import explain_score
+
+        tf = exclude_tf(tf_from_doc_map(self.doc_map),
+                        set(self.tombstones()))
+        return explain_score(tf, self.term_stats, self.scalars, query,
+                             doc_id)
+
     def count_hits(self, query: str, require_all: bool = False) -> int:
         """Total hits for ``query`` without ranking (OR semantics by
         default; ``require_all=True`` = every distinct term present).

@@ -3017,6 +3017,46 @@ FROM ts JOIN top USING (doc_id)
 GROUP BY 1, 2 ORDER BY bucket ASC"""
 
 
+_EXPLAIN_QUERY = "spark join fast"
+
+
+def q_explain_score(spark, sf_dir):
+    """Score explanation (operators/topk.py explain_score — the ES
+    _explain analog): per-term (qf, tf, df, dl, partial) breakdown for
+    the query's rounded-rank top-1 doc; partials sum to the reported
+    score. Both engines pick the same doc (rounded-then-ranked,
+    doc-id tie-break)."""
+    from searchengine_spark.operators.topk import explain_score
+
+    _, _, tf_table, stats, scalars = _index_parts(spark, sf_dir)
+    top1 = (
+        score_all(tf_table, stats, scalars, _EXPLAIN_QUERY, mode="bm25")
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(1)
+        .collect()[0]["doc_id"]
+    )
+    return explain_score(tf_table, stats, scalars, _EXPLAIN_QUERY,
+                         int(top1))
+
+
+def _explain_score_sql(query: str = _EXPLAIN_QUERY) -> str:
+    return f"""WITH {BASE_CTES},
+{_query_cte(query)},
+partial AS (
+  SELECT tf.doc_id, tf.term, q.qf, tf.tf, s.df, dl.dl, {_BM25_W} AS w
+  FROM tf JOIN q USING (term) JOIN stats s USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN consts c
+),
+top1 AS (SELECT doc_id FROM (
+  SELECT doc_id, round(sum(w), 6) AS score FROM partial GROUP BY doc_id
+  ORDER BY score DESC, doc_id ASC LIMIT 1))
+SELECT p.term, p.qf::BIGINT AS qf, p.tf::BIGINT AS tf, p.df::BIGINT AS df,
+       p.dl::BIGINT AS dl, round(p.w, 6) AS partial
+FROM partial p JOIN top1 USING (doc_id)
+ORDER BY partial DESC, term ASC"""
+
+
 _PERC_QUERIES = [(0, "spark join"), (1, "dup"), (2, "window agg stream")]
 
 
@@ -3068,6 +3108,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_histogram": q_facet_histogram,
         "msm_topk": q_msm_topk,
         "percolate_hits": q_percolate_hits,
+        "explain_score": q_explain_score,
         "lm_dirichlet_topk": q_lm_dirichlet_topk,
         "bm25f_topk": q_bm25f_topk,
         "decay_topk": q_decay_topk,
@@ -3103,7 +3144,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix": q_source_mix,
         "pii_scan": q_pii_scan,
         "source_divergence": q_source_divergence,
-        "token_counts": q_token_counts,
         "doc_fingerprint": q_fingerprint,
         "payload_meta": q_payload_meta,
         "media_features": q_media_features,
@@ -3123,7 +3163,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # covers the multimodal mapInPandas path resize/frame-sample ride;
         # event_props_stats shares events.py with user_top_events;
         # quality_quantiles covers profiling.py for source_term_cardinality;
-        # clean_corpus's in-window funnel exercises the quality stage)
+        # clean_corpus's in-window funnel exercises the quality stage;
+        # every in-window scorer exercises the tokenizer for token_counts)
         "span_dup_flags": q_span_dup_flags,
         "sessionized_counts_bucketed": q_sessionized_counts_bucketed,
         "media_resize": q_media_resize,
@@ -3131,6 +3172,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_props_stats": q_event_props_stats,
         "source_term_cardinality": q_source_term_cardinality,
         "quality_score": q_quality,
+        "token_counts": q_token_counts,
         "term_stats": q_term_stats,
         "corpus_scalars": q_corpus_scalars,
         "tf_postings": q_tf_postings,
@@ -3188,6 +3230,7 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "facet_histogram": _facet_histogram_sql(),
         "msm_topk": _msm_topk_sql(),
         "percolate_hits": _percolate_sql(),
+        "explain_score": _explain_score_sql(),
         "lm_dirichlet_topk": _lm_dirichlet_sql(_LM_QUERY, 10),
         "bm25f_topk": _bm25f_sql(_BM25F_QUERY, 10),
         "decay_topk": _decay_topk_sql(_DECAY_QUERY, 10),

@@ -357,6 +357,46 @@ def msm_topk(
     )
 
 
+def explain_score(
+    tf_table: DataFrame,
+    term_stats: DataFrame,
+    scalars: CorpusScalars,
+    query: str,
+    doc_id: int,
+    mode: str = "bm25",
+) -> DataFrame:
+    """Score explanation for ONE document (the Elasticsearch ``_explain``
+    / Lucene Explanation analog): the per-term breakdown of how the doc's
+    score arises — (term, qf, tf, df, dl, partial), partial summing to
+    exactly the score every top-k here reports. The relevance-debugging
+    surface: "why did this turn rank".
+
+    Plan: the doc_id filter lands BEFORE the query-term join, so the scan
+    prunes to one document's postings (predicate pushdown to the tf
+    source); everything after is a handful of rows. Output ordered
+    (partial desc, term asc), 6dp.
+    """
+    spark = tf_table.sparkSession
+    qt = query_terms_df(spark, query)
+    joined = (
+        tf_table.filter(F.col("doc_id") == int(doc_id))
+        .join(F.broadcast(qt), "term")
+        .join(term_stats, "term")
+    )
+    scored = _partial_weight(joined, scalars, mode)
+    return (
+        scored.select(
+            "term",
+            F.col("qf").cast("long").alias("qf"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.col("dl").cast("long").alias("dl"),
+            F.round("partial", 6).alias("partial"),
+        )
+        .orderBy(F.desc("partial"), F.asc("term"))
+    )
+
+
 def score_topk_after(
     tf_table: DataFrame,
     term_stats: DataFrame,

@@ -22,6 +22,7 @@ same lifecycle is a stdlib ``ThreadingHTTPServer`` in front of
     GET /doc?id=123      -> the doc-store row (text + turn metadata)
     GET /suggest?prefix=re&k=5   -> autocomplete over the lexicon
     GET /suggest?term=sprak&k=5  -> did-you-mean (levenshtein <= 2)
+    GET /explain?q=words&id=123  -> per-term score breakdown (ES _explain)
     GET /sigterms?q=words&k=100&n=10 -> JLH significant terms of the hit set
     GET /histogram?q=words&interval=3600 -> date-histogram facet of the hits
     GET /healthz         -> {"status": "ok", "n_docs": N}
@@ -183,6 +184,20 @@ def make_handler(engine: SearchEngine, lock: threading.Lock):
                                               else None),
                              "n": int(r["n"])}
                             for r in rows],
+                    })
+                elif url.path == "/explain":
+                    q = (qs.get("q") or [""])[0]
+                    doc_id = int((qs.get("id") or ["-1"])[0])
+                    with lock:
+                        rows = engine.explain(q, doc_id).collect()
+                    self._reply(200, {
+                        "query": q, "doc_id": doc_id,
+                        "score": round(sum(r["partial"] for r in rows), 6),
+                        "terms": [{"term": r["term"], "qf": int(r["qf"]),
+                                   "tf": int(r["tf"]), "df": int(r["df"]),
+                                   "dl": int(r["dl"]),
+                                   "partial": float(r["partial"])}
+                                  for r in rows],
                     })
                 elif url.path == "/stats":
                     with lock:

@@ -347,3 +347,15 @@ def test_msm_mode(served):
     assert status == 200
     api = eng.search_msm("bababa dadada", min_should_match=2, k=5).collect()
     assert [r["doc_id"] for r in body["results"]] == [r.doc_id for r in api]
+
+
+def test_explain_endpoint_sums_to_score(served):
+    eng, base = served
+    hit = eng.search("bababa", k=1, mode="exhaustive").collect()[0]
+    status, body = _get(f"{base}/explain?q=bababa&id={hit.doc_id}")
+    assert status == 200
+    assert body["terms"]
+    assert body["score"] == pytest.approx(round(hit.score, 6), abs=2e-6)
+    # per-term invariants: tf >= 1, df >= tf's doc, partial > 0
+    for t in body["terms"]:
+        assert t["tf"] >= 1 and t["df"] >= 1 and t["partial"] > 0
