@@ -474,6 +474,49 @@ class SearchEngine:
         return msm_topk(tf, self.term_stats, self.scalars, query,
                         min_should_match=min_should_match, k=k)
 
+    def search_stemmed(self, query: str, k: int = 10) -> DataFrame:
+        """S-stemmed BM25 top-k (operators/analyzers.py): the tf relation
+        re-keyed through the Harman S-stemmer (JVM CASE expression),
+        stem-level df recomputed on the fly, the query stemmed with the
+        identical rules — recall-oriented retrieval ('tables' matches
+        'table'). Tombstones masked."""
+        from searchengine_spark.operators.analyzers import stemmed_topk
+        from searchengine_spark.operators.deletes import exclude_tf
+
+        tf = exclude_tf(tf_from_doc_map(self.doc_map),
+                        set(self.tombstones()))
+        return stemmed_topk(tf, self.scalars, query, k=k)
+
+    def search_substring(self, needle: str, k: int = 10) -> DataFrame:
+        """Raw-text substring top-k (operators/substring.py — the
+        pg_trgm / Lucene wildcard-field shape): the needle's trigrams
+        select candidates from an in-row gram extraction of the doc
+        store, candidates only are verified and ranked by occurrence
+        count. Serves needles the letter-run tokenizer cannot express
+        (identifiers, error strings, token-boundary-crossing text).
+        Tombstones masked at the doc store."""
+        from searchengine_spark.operators.substring import substring_search
+
+        docs = self.doc_map.select("doc_id", "text")
+        dead = self.tombstones()
+        if dead:
+            docs = docs.filter(~F.col("doc_id").isin(sorted(dead)))
+        return substring_search(docs, needle, k=k)
+
+    def term_vectors(self, doc_id: int) -> DataFrame:
+        """Per-doc term vectors (operators/termvectors.py — the ES
+        _termvectors analog): every admitted term of one stored doc with
+        tf, first position, and corpus df/cf. The doc_id filter prunes
+        the doc-store scan; a deleted doc returns zero rows."""
+        from searchengine_spark.operators.termvectors import term_vectors
+
+        if doc_id in self.tombstones():
+            return self.term_stats.sparkSession.createDataFrame(
+                [], "term string, tf long, first_pos long, df long, cf long"
+            )
+        return term_vectors(self.doc_map.select("doc_id", "text"),
+                            self.term_stats, doc_id)
+
     def explain(self, query: str, doc_id: int) -> DataFrame:
         """Score explanation for one doc (operators/topk.py explain_score
         — the ES _explain analog): per-term (qf, tf, df, dl, partial)

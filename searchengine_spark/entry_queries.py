@@ -3091,6 +3091,97 @@ WHERE h.n_matched >= r.n_required
 ORDER BY doc_id ASC, query_id ASC"""
 
 
+# -- round-3b: analyzers, substring search, term vectors --------------------
+
+_STEM_QUERY = "tables joins sessions"
+# crosses a token boundary ("...join fast...") — a raw-text substring the
+# term index cannot express; 49 matching docs at sf0.01 (non-vacuous).
+_SUBSTR_NEEDLE = "oin f"
+_TV_DOC = 7
+
+
+def q_stemmed_topk(spark, sf_dir, query: str = _STEM_QUERY, k: int = 10):
+    """S-stemmed retrieval (operators/analyzers.py): the tf relation is
+    re-keyed through Harman's S-stemmer (one portable CASE expression,
+    JVM codegen), df/cf recomputed over stems, the query stemmed with the
+    identical rules — so 'tables' retrieves docs saying 'table'. No
+    second corpus pass: stemming is a projection + one hash re-agg of
+    the existing tf table."""
+    from searchengine_spark.operators.analyzers import stemmed_topk
+
+    _, _, tf_table, _, scalars = _index_parts(spark, sf_dir)
+    return stemmed_topk(tf_table, scalars, query, k=k)
+
+
+def _stemmed_topk_sql(query: str = _STEM_QUERY, k: int = 10) -> str:
+    from searchengine_spark.operators.analyzers import STEM_CASE_SQL
+
+    stem_t = STEM_CASE_SQL.format(c="term")
+    return f"""WITH {BASE_CTES},
+{_query_cte(query)},
+tfs AS (SELECT doc_id, {stem_t} AS term, sum(tf)::BIGINT AS tf
+        FROM tf GROUP BY 1, 2),
+statss AS (SELECT term, count(*)::BIGINT AS df FROM tfs GROUP BY 1),
+qs AS (SELECT {stem_t} AS term, sum(qf)::BIGINT AS qf FROM q GROUP BY 1),
+partial AS (
+  SELECT tf.doc_id,
+         q.qf * ln((c.n - s.df + 0.5) / (s.df + 0.5) + 1.0)
+         * (tf.tf * {BM25_K1 + 1.0})
+         / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / c.avgdl)) AS w
+  FROM tfs tf JOIN qs q USING (term) JOIN statss s USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN consts c
+)
+SELECT doc_id, round(sum(w), 6) AS score FROM partial GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def q_substring_search(spark, sf_dir, needle: str = _SUBSTR_NEEDLE,
+                       k: int = 10):
+    """Substring search via the character-trigram index
+    (operators/substring.py — the pg_trgm / Lucene wildcard-field shape):
+    the needle's trigrams prune the gram posting table (pushed-down IN),
+    ALL-grams candidates only are verified with one JVM occurrence-count
+    expression; ranked by occurrences. The oracle is the ground-truth
+    full LIKE scan — index path == scan path is the correctness claim."""
+    from searchengine_spark.operators.substring import substring_search
+
+    return substring_search(_docs(spark, sf_dir), needle, k=k)
+
+
+def _substring_search_sql(needle: str = _SUBSTR_NEEDLE, k: int = 10) -> str:
+    nd = needle.lower()
+    return f"""WITH occ AS (
+  SELECT doc_id,
+         CAST((length(lower(text)) - length(replace(lower(text), '{nd}', '')))
+              / {len(nd)} AS BIGINT) AS occ
+  FROM documents
+)
+SELECT doc_id, occ FROM occ WHERE occ > 0
+ORDER BY occ DESC, doc_id ASC LIMIT {k}"""
+
+
+def q_term_vectors(spark, sf_dir, doc_id: int = _TV_DOC):
+    """Per-doc term vectors (operators/termvectors.py — the ES
+    _termvectors analog): every admitted term of one doc with tf, first
+    position (admitted-token ordinal), and corpus df/cf. The doc_id
+    filter is pushed to the doc-store scan; the doc's tiny term set is
+    broadcast into the stats join."""
+    from searchengine_spark.operators.termvectors import term_vectors
+
+    _, _, _, stats, _ = _index_parts(spark, sf_dir)
+    return term_vectors(_docs(spark, sf_dir), stats, doc_id)
+
+
+def _term_vectors_sql(doc_id: int = _TV_DOC) -> str:
+    return f"""WITH {BASE_CTES},
+{_TOKP_CTE},
+tv AS (SELECT term, count(*)::BIGINT AS tf, min(pos)::BIGINT AS first_pos
+       FROM tokp WHERE doc_id = {doc_id} GROUP BY 1)
+SELECT tv.term, tv.tf, tv.first_pos, s.df, s.cf
+FROM tv JOIN stats s USING (term)
+ORDER BY term ASC"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3103,6 +3194,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # time with tools/check_entry.py).
     return {
         # round-3 new operators first (never driver-attested)
+        "stemmed_topk": q_stemmed_topk,
+        "substring_search": q_substring_search,
+        "term_vectors": q_term_vectors,
         "significant_terms": q_significant_terms,
         "rank_eval": q_rank_eval,
         "facet_histogram": q_facet_histogram,
@@ -3225,6 +3319,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     return {
+        "stemmed_topk": _stemmed_topk_sql(),
+        "substring_search": _substring_search_sql(),
+        "term_vectors": _term_vectors_sql(),
         "significant_terms": _sig_terms_sql(),
         "rank_eval": _rank_eval_sql(),
         "facet_histogram": _facet_histogram_sql(),

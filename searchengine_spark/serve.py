@@ -45,7 +45,8 @@ from urllib.parse import parse_qs, urlparse
 from searchengine_spark.engine import SearchEngine
 
 _MODES = {"wand", "term", "exhaustive", "reference", "phrase", "near",
-          "prf", "prefix", "fuzzy", "regex", "lm", "bm25f", "msm"}
+          "prf", "prefix", "fuzzy", "regex", "lm", "bm25f", "msm",
+          "stemmed", "substring"}
 
 
 def _run_search(engine: SearchEngine, q: str, k: int, mode: str,
@@ -67,6 +68,13 @@ def _run_search(engine: SearchEngine, q: str, k: int, mode: str,
         return engine.search_lm(q, k=k)
     if mode == "bm25f":
         return engine.search_bm25f(q, k=k)
+    if mode == "stemmed":
+        return engine.search_stemmed(q, k=k)
+    if mode == "substring":
+        from pyspark.sql import functions as F
+
+        return engine.search_substring(q, k=k).select(
+            "doc_id", F.col("occ").cast("double").alias("score"))
     if mode == "phrase":
         return engine.search_phrase(q, k=k)
     if mode == "near":

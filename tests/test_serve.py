@@ -359,3 +359,40 @@ def test_explain_endpoint_sums_to_score(served):
     # per-term invariants: tf >= 1, df >= tf's doc, partial > 0
     for t in body["terms"]:
         assert t["tf"] >= 1 and t["df"] >= 1 and t["partial"] > 0
+
+
+def test_search_stemmed_and_substring_modes(served):
+    """mode=stemmed (S-stemmer analyzer) and mode=substring (trigram
+    verify) over HTTP equal the engine API; the substring score is the
+    occurrence count."""
+    eng, base = served
+    term = eng.term_stats.orderBy(F.desc("df"), F.asc("term")).select(
+        "term").first()["term"]
+
+    plural = term + "s"  # stems back to `term` -> must retrieve
+    status, body = _get(f"{base}/search?q={plural}&mode=stemmed&k=5")
+    assert status == 200 and body["mode"] == "stemmed"
+    direct = [(r.doc_id, round(r.score, 9))
+              for r in eng.search_stemmed(plural, k=5).collect()]
+    got = [(r["doc_id"], round(r["score"], 9)) for r in body["results"]]
+    assert got == direct and len(got) > 0
+
+    needle = term[1:]  # strictly-inside substring of a frequent term
+    status, body = _get(f"{base}/search?q={needle}&mode=substring&k=5")
+    assert status == 200 and body["mode"] == "substring"
+    direct = [(r.doc_id, float(r.occ))
+              for r in eng.search_substring(needle, k=5).collect()]
+    got = [(r["doc_id"], r["score"]) for r in body["results"]]
+    assert got == direct and len(got) > 0
+
+
+def test_termvectors_via_engine(served):
+    """engine.term_vectors returns the stored doc's indexed view; a
+    tombstoned doc returns zero rows."""
+    eng, _ = served
+    tv = {r.term: r for r in eng.term_vectors(0).collect()}
+    assert len(tv) > 0
+    toks = [r.term for r in eng.doc_map.filter(F.col("doc_id") == 0)
+            .select(F.explode("terms").alias("term")).collect()]
+    assert set(tv) == set(toks)
+    assert all(r.first_pos >= 0 and r.tf >= 1 and r.df >= 1 for r in tv.values())
