@@ -57,12 +57,22 @@ def build_index(
     *,
     num_doc_partitions: int | None = None,
     n_shards: int | None = None,
+    docs_per_shard: int | None = None,
     df_target: int = DEFAULT_DF_TARGET,
     layouts: tuple[str, ...] = ("doc",),
     cache: bool = True,
 ) -> InvertedIndex:
     """Full build. ``layouts`` picks which segment layouts to produce
-    ("doc" = WAND query layout, "term" = salted merge layout)."""
+    ("doc" = WAND query layout, "term" = salted merge layout).
+
+    ``docs_per_shard``: width-independent alternative to ``n_shards`` —
+    shard count = ceil(n_docs / docs_per_shard). The shard size is the
+    SERVING-PARALLELISM knob: a query's grouped WAND gets at most one
+    task per shard, so shards must outnumber the cores you want busy.
+    The 65k default (operators/segments.py DOCS_PER_SHARD) is right for
+    web scale (10^12 docs = ~15M shards) but parallelism-starves small
+    corpora — benches pass ~8k here so a 333k-doc corpus still fans out
+    to ~41 tasks."""
     doc_map = tokenized_doc_map(transcripts, num_partitions=num_doc_partitions)
     if cache:
         doc_map = doc_map.cache()
@@ -76,6 +86,8 @@ def build_index(
 
     doc_segments = term_segments = None
     if "doc" in layouts:
+        if n_shards is None and docs_per_shard:
+            n_shards = max(1, -(-scalars.n_docs // docs_per_shard))
         doc_segments = build_doc_segments(
             tf_table, term_stats, scalars.n_docs, scalars.avgdl, n_shards=n_shards
         )

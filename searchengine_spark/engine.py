@@ -289,6 +289,20 @@ class SearchEngine:
             "doc_id", F.unix_timestamp("ts").cast("double").alias("ts_s"))
         return facet_histogram(hits, doc_ts, interval_s, origin=origin_s)
 
+    def facet_ranges(self, query: str,
+                     ranges: list[tuple[str, float | None, float | None]],
+                     attr: str = "dl", k: int = 100,
+                     mode: str = "wand") -> DataFrame:
+        """Explicit range facet over the top-k hit set
+        (operators/facets.py facet_ranges — the ES range aggregation):
+        per-range counts of a numeric doc-store attribute, overlapping
+        ranges double-count, empty ranges emitted at 0."""
+        from searchengine_spark.operators.facets import facet_ranges
+
+        hits = self.search(query, k=k, mode=mode).select("doc_id")
+        return facet_ranges(hits, self.doc_map.select("doc_id", attr),
+                            ranges, attr=attr)
+
     def index_stats(self) -> dict:
         """Serving-surface snapshot of the loaded index: corpus scalars
         plus vocabulary size and posting count from the (already
@@ -605,14 +619,18 @@ class SearchEngine:
         return collapse_topk(tf, self.term_stats, self.scalars, groups,
                              query, k=k, agg=agg)
 
-    def search_batch(self, queries: list[tuple[int, str]], k: int = 10) -> DataFrame:
+    def search_batch(self, queries: list[tuple[int, str]], k: int = 10,
+                     spread: int | None = None) -> DataFrame:
         """(query_id, rank, doc_id, score) for many queries in one pass.
-        Tombstoned docs are masked like single-query search."""
+        Tombstoned docs are masked like single-query search. ``spread``:
+        explicit task count for the grouped WAND stage (see
+        operators/wand.py _spread_groups; default 4x parallelism)."""
         if self.doc_segments is None:
             raise ValueError("index has no doc-segment layout")
         return wand_topk_batch(self.doc_segments, queries, self.term_stats,
                                self.scalars.n_docs, self.scalars.avgdl, k=k,
-                               exclude=self.tombstones() or None)
+                               exclude=self.tombstones() or None,
+                               spread=spread)
 
     def fetch(self, doc_ids: list[int]) -> DataFrame:
         """Doc-store lookup (the reference's GetTitle/wikitext seek,

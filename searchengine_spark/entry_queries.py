@@ -3091,6 +3091,59 @@ WHERE h.n_matched >= r.n_required
 ORDER BY doc_id ASC, query_id ASC"""
 
 
+# -- round-3b: analyzers, substring search, term vectors, range facets ------
+
+# (key, from, to): half-open [from, to), None = unbounded; 'long'
+# deliberately overlaps 'mid' to exercise the ES a-doc-counts-in-every-
+# matching-range semantics, and 'huge' is empty at gate scale to pin the
+# emit-zero-count-ranges contract.
+_RANGE_BUCKETS = [
+    ("short", None, 200.0),
+    ("mid", 200.0, 400.0),
+    ("long", 300.0, None),
+    ("huge", 100000.0, None),
+]
+
+
+def q_facet_ranges(spark, sf_dir, query: str = _FACET_QUERY,
+                   k: int = _FACET_K):
+    """Explicit range facet over the top-k hit set (operators/facets.py
+    facet_ranges — the ES range-aggregation analog): per-range counts of
+    the hits' n_chars, overlapping ranges double-count (ES semantics),
+    empty ranges emitted at 0. One broadcast join + one agg."""
+    from searchengine_spark.operators.facets import facet_ranges
+
+    docs, _, tf_table, stats, scalars = _index_parts(spark, sf_dir)
+    hits = (
+        score_all(tf_table, stats, scalars, query, mode="bm25")
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id")
+    )
+    return facet_ranges(hits, docs.select("doc_id", "n_chars"),
+                        _RANGE_BUCKETS)
+
+
+def _facet_ranges_sql(query: str = _FACET_QUERY, k: int = _FACET_K) -> str:
+    vals = ", ".join(
+        f"('{key}', "
+        f"{'CAST(NULL AS DOUBLE)' if lo is None else float(lo)}, "
+        f"{'CAST(NULL AS DOUBLE)' if hi is None else float(hi)})"
+        for key, lo, hi in _RANGE_BUCKETS
+    )
+    return f"""WITH top AS (
+  SELECT doc_id FROM ({_bm25_topk_sql(query, k)})
+),
+j AS (SELECT d.n_chars::DOUBLE AS v FROM documents d JOIN top USING (doc_id)),
+r(key, range_from, range_to) AS (VALUES {vals})
+SELECT r.key, r.range_from, r.range_to,
+       (SELECT count(*) FROM j
+        WHERE (r.range_from IS NULL OR j.v >= r.range_from)
+          AND (r.range_to IS NULL OR j.v < r.range_to))::BIGINT AS n
+FROM r"""
+
+
 # -- round-3b: analyzers, substring search, term vectors --------------------
 
 _STEM_QUERY = "tables joins sessions"
@@ -3197,6 +3250,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stemmed_topk": q_stemmed_topk,
         "substring_search": q_substring_search,
         "term_vectors": q_term_vectors,
+        "facet_ranges": q_facet_ranges,
         "significant_terms": q_significant_terms,
         "rank_eval": q_rank_eval,
         "facet_histogram": q_facet_histogram,
@@ -3322,6 +3376,7 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "stemmed_topk": _stemmed_topk_sql(),
         "substring_search": _substring_search_sql(),
         "term_vectors": _term_vectors_sql(),
+        "facet_ranges": _facet_ranges_sql(),
         "significant_terms": _sig_terms_sql(),
         "rank_eval": _rank_eval_sql(),
         "facet_histogram": _facet_histogram_sql(),

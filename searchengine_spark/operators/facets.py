@@ -17,6 +17,49 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def facet_ranges(
+    hits: DataFrame,
+    doc_attr: DataFrame,
+    ranges: list[tuple[str, float | None, float | None]],
+    attr: str = "n_chars",
+) -> DataFrame:
+    """Explicit range buckets over the hit set — the ES ``range``
+    aggregation analog: each (key, from, to) is a half-open [from, to)
+    bucket (None = unbounded); a doc counts in EVERY range it falls in
+    (ES overlap semantics), and every requested range is emitted even at
+    count 0 (unlike the histogram's min_doc_count=1).
+
+    Plan shape: broadcast the k-row hit set onto the attribute slice,
+    ONE agg computing all ranges as conditional counts (no explode, no
+    per-range job), then a JVM ``stack`` unpivot of the single agg row.
+
+    Output: (key, range_from, range_to, n), one row per requested range.
+    """
+    joined = doc_attr.join(F.broadcast(hits.select("doc_id")), "doc_id")
+    a = F.col(attr).cast("double")
+    aggs = []
+    for i, (_, lo, hi) in enumerate(ranges):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (a >= float(lo))
+        if hi is not None:
+            cond = cond & (a < float(hi))
+        aggs.append(
+            F.coalesce(F.sum(F.when(cond, 1)), F.lit(0))
+            .cast("long").alias(f"_r{i}")
+        )
+    one = joined.agg(*aggs)
+    cells = ", ".join(
+        f"'{key}', CAST({'NULL' if lo is None else float(lo)} AS DOUBLE),"
+        f" CAST({'NULL' if hi is None else float(hi)} AS DOUBLE), _r{i}"
+        for i, (key, lo, hi) in enumerate(ranges)
+    )
+    return one.selectExpr(
+        f"stack({len(ranges)}, {cells})"
+        " as (key, range_from, range_to, n)"
+    )
+
+
 def facet_histogram(
     hits: DataFrame,
     doc_attr: DataFrame,

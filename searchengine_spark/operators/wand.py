@@ -239,6 +239,25 @@ def query_qf(query: str) -> dict[str, float]:
     return {t: float(c) for t, c in Counter(tokenize_py(query)).items()}
 
 
+def _spread_groups(df: DataFrame, key: str, n: int | None = None) -> DataFrame:
+    """Pre-partition a grouped-map input by its key with an EXPLICIT
+    partition count. Rationale: the posting slices a query touches are
+    small in BYTES (a few MB for frequent terms) but heavy in CPU (the
+    Python WAND kernel), so AQE's byte-based shuffle coalescing merges
+    them into a handful of tasks and serializes the kernel — measured on
+    the 333k-turn scaling corpus: the shard groups coalesced to 4 tasks,
+    2.9 s of kernel per task, 2→8-core query scaling capped at ~0.4. An
+    explicit numPartitions makes this shuffle REPARTITION_BY_NUM, which
+    AQE never coalesces, and the downstream groupBy reuses the
+    partitioning (no second exchange). The default 4x parallelism gives
+    multiple waves of hash-balanced shard groups at any cluster width;
+    empty partitions cost microseconds. Pass ``n`` for a width-
+    INDEPENDENT count (the scaling bench does: identical physical plan
+    at N and 4N cores, the build record's determinism discipline)."""
+    n = n or df.sparkSession.sparkContext.defaultParallelism * 4
+    return df.repartition(n, key)
+
+
 def wand_topk(
     doc_segments: DataFrame,
     query: str,
@@ -247,6 +266,7 @@ def wand_topk(
     avgdl: float,
     k: int = 10,
     exclude: set | frozenset | DataFrame | DocIdBitmap | None = None,
+    spread: int | None = None,
 ) -> DataFrame:
     """Top-k BM25 over doc-sharded segments with block-max WAND pruning.
 
@@ -287,7 +307,8 @@ def wand_topk(
             {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
         )
 
-    local = matched.groupBy("shard").applyInPandas(run, _TOPK_SCHEMA)
+    local = _spread_groups(matched, "shard", spread).groupBy("shard") \
+        .applyInPandas(run, _TOPK_SCHEMA)
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
@@ -485,6 +506,7 @@ def wand_topk_batch(
     avgdl: float,
     k: int = 10,
     exclude: set | frozenset | DataFrame | DocIdBitmap | None = None,
+    spread: int | None = None,
 ) -> DataFrame:
     """Many queries in one pass: per shard, posting lists are decoded ONCE
     and every query runs block-max WAND over the shared decoded lists ->
@@ -523,7 +545,8 @@ def wand_topk_batch(
              "score": pd.Series(scores, dtype="float64")}
         )
 
-    local = matched.groupBy("shard").applyInPandas(run, _BATCH_TOPK_SCHEMA)
+    local = _spread_groups(matched, "shard", spread).groupBy("shard") \
+        .applyInPandas(run, _BATCH_TOPK_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         local.withColumn("rank", F.row_number().over(w))

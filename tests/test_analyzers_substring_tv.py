@@ -224,3 +224,30 @@ def test_term_vectors_pushdown(spark, tmp_path):
     stats = build_term_stats(explode_forward(build_forward(stored)))
     plan = term_vectors(stored, stats, 7)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "doc_id" in plan
+
+
+# ---------------------------------------------------------------------------
+# range facets
+# ---------------------------------------------------------------------------
+
+
+def test_facet_ranges_overlap_zero_and_unbounded(spark):
+    """ES range-agg semantics: overlapping ranges double-count, requested
+    empty ranges are emitted at 0, None bounds are unbounded, NULL
+    attribute values count nowhere."""
+    from searchengine_spark.operators.facets import facet_ranges
+
+    hits = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    attrs = spark.createDataFrame(
+        [(0, 10.0), (1, 150.0), (2, 250.0), (3, 250.0), (4, None)],
+        "doc_id long, v double",
+    )
+    out = {r.key: r for r in facet_ranges(
+        hits, attrs,
+        [("lo", None, 200.0), ("hi", 100.0, None),  # overlap at 150
+         ("empty", 9999.0, None)], attr="v").collect()}
+    assert out["lo"].n == 2          # 10, 150
+    assert out["hi"].n == 3          # 150, 250, 250 (150 double-counted)
+    assert out["empty"].n == 0       # requested -> emitted at 0
+    assert out["lo"].range_from is None and out["hi"].range_to is None
+    # doc 4 (NULL v) appears in no range: 2 + 3 + 0 counts 4 docs' values
