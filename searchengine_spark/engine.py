@@ -303,6 +303,60 @@ class SearchEngine:
         return facet_ranges(hits, self.doc_map.select("doc_id", attr),
                             ranges, attr=attr)
 
+    def facet_stats(self, query: str, by: str = "role", attr: str = "dl",
+                    k: int = 100, mode: str = "wand") -> DataFrame:
+        """Terms facet + numeric stats sub-agg over the top-k hit set
+        (operators/facets.py facet_stats — ES terms+stats): per-bucket
+        count and min/max/avg/sum of a doc-store attribute."""
+        from searchengine_spark.operators.facets import facet_stats
+
+        hits = self.search(query, k=k, mode=mode).select("doc_id")
+        return facet_stats(hits, self.doc_map.select("doc_id", by, attr),
+                           by=by, attr=attr)
+
+    def facet_top_hits(self, query: str, by: str = "role",
+                       per_bucket: int = 3, k: int = 100,
+                       mode: str = "wand") -> DataFrame:
+        """Terms facet + top_hits sub-agg (operators/facets.py
+        facet_top_hits — ES terms+top_hits): best hits per bucket of a
+        doc-store attribute, from the top-k result set."""
+        from searchengine_spark.operators.facets import facet_top_hits
+
+        hits = self.search(query, k=k, mode=mode).select("doc_id", "score")
+        return facet_top_hits(hits, self.doc_map.select("doc_id", by),
+                              by=by, per_bucket=per_bucket)
+
+    def search_boosted(self, query: str, attr: str, factor: float = 1.0,
+                       modifier: str = "log1p", k: int = 10) -> DataFrame:
+        """Field-value-factor retrieval (operators/topk.py
+        function_score_topk — ES function_score): BM25 multiplied by a
+        modifier of a numeric doc-store attribute. Tombstones masked."""
+        from searchengine_spark.operators.deletes import exclude_tf
+        from searchengine_spark.operators.topk import function_score_topk
+
+        if attr not in self.doc_map.columns:
+            raise ValueError(f"doc store has no {attr!r} column")
+        tf = exclude_tf(tf_from_doc_map(self.doc_map),
+                        set(self.tombstones()))
+        return function_score_topk(
+            tf, self.term_stats, self.scalars,
+            self.doc_map.select("doc_id", attr), query,
+            attr=attr, factor=factor, modifier=modifier, k=k)
+
+    def delete_by_query(self, query: str, mode: str = "exhaustive",
+                        max_docs: int = 10_000) -> frozenset:
+        """Tombstone every doc matching ``query`` (the ES
+        delete_by_query analog): run the search (exhaustive mode by
+        default so ALL matches are candidates, not just a top-k), mask
+        the ids. ``max_docs`` bounds the driver-side id list — the same
+        driver-sized-set contract as ``delete_docs`` (the broadcast-
+        bitmap path in operators/wand.py handles serving-time masking
+        at scale; physical removal is ``purge_deleted``). Returns the
+        new full tombstone set."""
+        hits = self.search(query, k=max_docs, mode=mode).select("doc_id")
+        ids = [r["doc_id"] for r in hits.collect()]
+        return self.delete_docs(ids)
+
     def index_stats(self) -> dict:
         """Serving-surface snapshot of the loaded index: corpus scalars
         plus vocabulary size and posting count from the (already
@@ -581,8 +635,17 @@ class SearchEngine:
         table is a persisted layout like pos_postings). Tombstoned docs
         are filtered BEFORE the field build, so they neither rank nor
         perturb the field statistics; any delete invalidates the cache."""
+        from searchengine_spark.operators.fielded import bm25f_topk_indexed
+
+        ftf, scal = self._field_layout(title_len)
+        return bm25f_topk_indexed(ftf, self.term_stats,
+                                  self.scalars.n_docs, query, k=k,
+                                  weights=weights, field_scal=scal)
+
+    def _field_layout(self, title_len: int):
+        """Cached (field_tf, field_scal) split layout keyed on
+        (title_len, tombstone set) — shared by every multi-field mode."""
         from searchengine_spark.operators.fielded import (
-            bm25f_topk_indexed,
             build_split_field_tf,
             field_avg_lengths,
         )
@@ -599,9 +662,21 @@ class SearchEngine:
                 cached[1].unpersist()
             self._bm25f_cache = (key, ftf, field_avg_lengths(ftf))
         _, ftf, scal = self._bm25f_cache
-        return bm25f_topk_indexed(ftf, self.term_stats,
-                                  self.scalars.n_docs, query, k=k,
-                                  weights=weights, field_scal=scal)
+        return ftf, scal
+
+    def search_dis_max(self, query: str, k: int = 10, title_len: int = 8,
+                       tie_breaker: float = 0.0) -> DataFrame:
+        """Disjunction-max multi-field retrieval (operators/fielded.py
+        dis_max_topk — ES dis_max/best_fields): best-field BM25 +
+        tie_breaker * rest, over the SAME cached field-split layout as
+        search_bm25f (one persisted artifact serves both multi-field
+        modes)."""
+        from searchengine_spark.operators.fielded import dis_max_topk
+
+        ftf, scal = self._field_layout(title_len)
+        return dis_max_topk(ftf, self.term_stats, self.scalars.n_docs,
+                            query, k=k, tie_breaker=tie_breaker,
+                            field_scal=scal)
 
     def search_collapse(self, query: str, field: str = "conv_id",
                         k: int = 10, agg: str = "max") -> DataFrame:

@@ -3235,6 +3235,190 @@ FROM tv JOIN stats s USING (term)
 ORDER BY term ASC"""
 
 
+# -- round-3c: sub-aggregations, dis_max, function_score, federation --------
+
+
+def _facet_hits(spark, sf_dir, query: str = _FACET_QUERY, k: int = _FACET_K,
+                scored: bool = False):
+    """Shared top-k hit set for the facet family: rounded-then-ranked
+    (the cross-engine hashing discipline)."""
+    _, _, tf_table, stats, scalars = _index_parts(spark, sf_dir)
+    hits = (
+        score_all(tf_table, stats, scalars, query, mode="bm25")
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return hits if scored else hits.select("doc_id")
+
+
+def q_facet_stats(spark, sf_dir):
+    """Terms facet + numeric stats sub-agg (operators/facets.py
+    facet_stats — ES terms+stats nested aggregation): matching turns per
+    source with their length profile. Broadcast k-row hits, one hash
+    agg."""
+    from searchengine_spark.operators.facets import facet_stats
+
+    docs = _docs(spark, sf_dir)
+    return facet_stats(_facet_hits(spark, sf_dir),
+                       docs.select("doc_id", "source", "n_chars"),
+                       by="source", attr="n_chars")
+
+
+def _facet_stats_sql(query: str = _FACET_QUERY, k: int = _FACET_K) -> str:
+    return f"""WITH top AS (
+  SELECT doc_id FROM ({_bm25_topk_sql(query, k)})
+)
+SELECT d.source AS value, count(*)::BIGINT AS n,
+       min(d.n_chars::DOUBLE) AS min_v, max(d.n_chars::DOUBLE) AS max_v,
+       round(avg(d.n_chars::DOUBLE), 6) AS avg_v,
+       round(sum(d.n_chars::DOUBLE), 6) AS sum_v
+FROM documents d JOIN top USING (doc_id)
+GROUP BY 1 ORDER BY n DESC, value ASC"""
+
+
+_TOPHITS_PER_BUCKET = 3
+
+
+def q_facet_top_hits(spark, sf_dir):
+    """Terms facet + top_hits sub-agg (operators/facets.py
+    facet_top_hits — ES terms+top_hits): best 3 hits per source from the
+    top-k result set. Per-bucket rank over k rows only
+    (WindowGroupLimit)."""
+    from searchengine_spark.operators.facets import facet_top_hits
+
+    docs = _docs(spark, sf_dir)
+    return facet_top_hits(_facet_hits(spark, sf_dir, scored=True),
+                          docs.select("doc_id", "source"),
+                          by="source", per_bucket=_TOPHITS_PER_BUCKET)
+
+
+def _facet_top_hits_sql(query: str = _FACET_QUERY, k: int = _FACET_K,
+                        m: int = _TOPHITS_PER_BUCKET) -> str:
+    return f"""WITH top AS (
+  SELECT doc_id, score FROM ({_bm25_topk_sql(query, k)})
+),
+ranked AS (
+  SELECT d.source AS value, t.doc_id, t.score,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY t.score DESC, t.doc_id ASC) AS rank
+  FROM documents d JOIN top t USING (doc_id)
+)
+SELECT value, rank::INT AS rank, doc_id, score FROM ranked
+WHERE rank <= {m} ORDER BY value ASC, rank ASC"""
+
+
+_DISMAX_QUERY = "spark join fast"
+_DISMAX_TIE = 0.3
+
+
+def q_dis_max_topk(spark, sf_dir):
+    """Disjunction-max multi-field retrieval (operators/fielded.py
+    dis_max_topk — ES dis_max / best_fields): per-field BM25 over the
+    same title/body split as bm25f, combined as max + tie_breaker *
+    rest. Shares the bm25f field-split layout and stats treatment."""
+    from searchengine_spark.operators.fielded import (
+        build_split_field_tf, dis_max_topk,
+    )
+
+    docs, _, _, stats, scalars = _index_parts(spark, sf_dir)
+    ftf = build_split_field_tf(docs, title_len=_BM25F_TITLE_LEN)
+    return dis_max_topk(
+        ftf, stats, scalars.n_docs, _DISMAX_QUERY, k=10,
+        tie_breaker=_DISMAX_TIE,
+        b_per_field={"title": _BM25F_B_TITLE, "body": _BM25F_B_BODY},
+    )
+
+
+def _dis_max_sql(query: str = _DISMAX_QUERY, k: int = 10,
+                 tie: float = _DISMAX_TIE) -> str:
+    t = _BM25F_TITLE_LEN
+    k1 = BM25_K1
+    return f"""WITH {BASE_CTES},
+fslice AS (SELECT doc_id, t[1:{t}] AS title, t[{t + 1}:] AS body FROM tokd),
+funion AS (
+  SELECT doc_id, 'title' AS field, unnest(title) AS term, len(title)::BIGINT AS fdl FROM fslice
+  UNION ALL
+  SELECT doc_id, 'body' AS field, unnest(body) AS term, len(body)::BIGINT AS fdl FROM fslice
+),
+ftf AS (SELECT doc_id, field, term, fdl, count(*)::BIGINT AS tf FROM funion GROUP BY 1, 2, 3, 4),
+fscal AS (SELECT field, avg(fdl) AS avgfdl
+          FROM (SELECT DISTINCT doc_id, field, fdl FROM funion) GROUP BY 1),
+{_query_cte(query)},
+pf AS (
+  SELECT f.doc_id, f.field,
+         sum(q.qf * ln((c.n - s.df + 0.5) / (s.df + 0.5) + 1.0)
+             * (f.tf * {k1 + 1.0})
+             / (f.tf + {k1} * (1.0 - ({_BM25F_B_SQL})
+                + ({_BM25F_B_SQL}) * f.fdl / sc.avgfdl))) AS s_f
+  FROM ftf f JOIN q USING (term) JOIN stats s USING (term)
+       JOIN fscal sc USING (field) CROSS JOIN consts c
+  GROUP BY 1, 2
+)
+SELECT doc_id, round(max(s_f) + {tie} * (sum(s_f) - max(s_f)), 6) AS score
+FROM pf GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+_FSCORE_QUERY = "spark join fast"
+_FSCORE_FACTOR = 0.01
+
+
+def q_function_score_topk(spark, sf_dir):
+    """Field-value-factor scoring (operators/topk.py function_score_topk
+    — ES function_score): BM25 * ln(1 + 0.01 * n_chars), the static-
+    popularity-signal fold; candidate-side attribute join only."""
+    from searchengine_spark.operators.topk import function_score_topk
+
+    docs, _, tf_table, stats, scalars = _index_parts(spark, sf_dir)
+    return function_score_topk(
+        tf_table, stats, scalars, docs.select("doc_id", "n_chars"),
+        _FSCORE_QUERY, attr="n_chars", factor=_FSCORE_FACTOR,
+        modifier="log1p", k=10,
+    )
+
+
+def _function_score_sql(query: str = _FSCORE_QUERY, k: int = 10) -> str:
+    return f"""WITH {BASE_CTES},
+{_query_cte(query)},
+partial AS (
+  SELECT tf.doc_id, {_BM25_W} AS w
+  FROM tf JOIN q USING (term) JOIN stats s USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN consts c
+),
+agg AS (SELECT doc_id, sum(w) AS s FROM partial GROUP BY 1)
+SELECT a.doc_id,
+       round(a.s * ln(1.0 + {_FSCORE_FACTOR} * coalesce(d.n_chars, 0)), 6) AS score
+FROM agg a LEFT JOIN documents d ON d.doc_id = a.doc_id
+ORDER BY score DESC, a.doc_id ASC LIMIT {k}"""
+
+
+_FED_QUERY = "spark join fast"
+_FED_SLICES = 3
+
+
+def q_federated_topk(spark, sf_dir):
+    """Federated search over independently-built index slices
+    (operators/federation.py): the corpus split into 3 slices by
+    doc_id % 3, each slice's tf/stats/scalars built SEPARATELY (as
+    independent daily/tenant builds would), then queried together with
+    merged global statistics. The oracle is plain monolithic BM25 —
+    slice-invariance (identical scores to a single index over the union)
+    is exactly the property the statistics merge must deliver."""
+    from searchengine_spark.operators.federation import federated_topk
+
+    docs = _docs(spark, sf_dir)
+    slices, slice_stats, slice_scalars = [], [], []
+    for i in range(_FED_SLICES):
+        sdocs = docs.filter(F.col("doc_id") % _FED_SLICES == i)
+        fwd = build_forward(sdocs)
+        tf = explode_forward(fwd)
+        slices.append((f"s{i}", tf))
+        slice_stats.append(build_term_stats(tf))
+        slice_scalars.append(CorpusScalars.compute(fwd))
+    return federated_topk(slices, slice_stats, slice_scalars,
+                          _FED_QUERY, k=10)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3247,6 +3431,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # time with tools/check_entry.py).
     return {
         # round-3 new operators first (never driver-attested)
+        "facet_stats": q_facet_stats,
+        "facet_top_hits": q_facet_top_hits,
+        "dis_max_topk": q_dis_max_topk,
+        "function_score_topk": q_function_score_topk,
+        "federated_topk": q_federated_topk,
         "stemmed_topk": q_stemmed_topk,
         "substring_search": q_substring_search,
         "term_vectors": q_term_vectors,
@@ -3373,6 +3562,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     return {
+        "facet_stats": _facet_stats_sql(),
+        "facet_top_hits": _facet_top_hits_sql(),
+        "dis_max_topk": _dis_max_sql(),
+        "function_score_topk": _function_score_sql(),
+        "federated_topk": _bm25_topk_sql(_FED_QUERY, 10),
         "stemmed_topk": _stemmed_topk_sql(),
         "substring_search": _substring_search_sql(),
         "term_vectors": _term_vectors_sql(),

@@ -96,3 +96,70 @@ def facet_histogram(
         )
         .orderBy(F.asc_nulls_last("bucket"))
     )
+
+
+def facet_stats(
+    hits: DataFrame,
+    doc_attrs: DataFrame,
+    by: str,
+    attr: str,
+) -> DataFrame:
+    """Terms facet with a numeric sub-aggregation — the ES
+    ``terms`` + ``stats`` nested-aggregation analog: bucket the hit set
+    by a categorical doc attribute and report count plus min/max/avg/sum
+    of a numeric attribute per bucket ("matching turns per source, with
+    their length profile").
+
+    Plan shape: broadcast the k-row hit set onto the doc-store slice
+    (two columns only — Catalyst prunes the scan), ONE hash agg
+    computing all five statistics. NULL numeric values are ignored by
+    the stats but still counted in ``n`` (ES semantics: doc_count vs
+    the sub-agg's own count).
+
+    Output: (value, n, min_v, max_v, avg_v, sum_v) ordered by n desc.
+    """
+    joined = doc_attrs.join(F.broadcast(hits.select("doc_id")), "doc_id")
+    a = F.col(attr).cast("double")
+    return (
+        joined.groupBy(F.col(by).alias("value"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min(a).alias("min_v"),
+            F.max(a).alias("max_v"),
+            F.round(F.avg(a), 6).alias("avg_v"),
+            F.round(F.sum(a), 6).alias("sum_v"),
+        )
+        .orderBy(F.desc("n"), F.asc("value"))
+    )
+
+
+def facet_top_hits(
+    scored_hits: DataFrame,
+    doc_attrs: DataFrame,
+    by: str,
+    per_bucket: int = 3,
+) -> DataFrame:
+    """Terms facet with a ``top_hits`` sub-aggregation — per bucket of a
+    categorical doc attribute, the best ``per_bucket`` hits by score
+    (ES ``terms`` + ``top_hits``): "the top 3 matching turns from every
+    source".
+
+    ``scored_hits``: small (doc_id, score) result set — the search did
+    the heavy lifting. Plan shape: broadcast the k-row hit set onto the
+    doc store, then a per-bucket rank over those k rows only. Spark
+    rewrites the rank filter to WindowGroupLimit (a bounded per-group
+    heap, no full sort) — the same plan family as per-key top-N in
+    events.py, asserted there.
+
+    Output: (value, rank, doc_id, score) ordered by bucket then rank.
+    """
+    from pyspark.sql import Window
+
+    joined = doc_attrs.join(F.broadcast(scored_hits), "doc_id")
+    w = Window.partitionBy(by).orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= per_bucket)
+        .select(F.col(by).alias("value"), "rank", "doc_id", "score")
+        .orderBy(F.asc("value"), F.asc("rank"))
+    )

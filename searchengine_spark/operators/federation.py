@@ -1,0 +1,123 @@
+"""Cross-index federated search over independently-built index slices.
+
+The web-scale serving layout for an ever-growing corpus is not one
+monolithic index but MANY independently-built slices — one per day / per
+tenant / per crawl — each the output of its own build run (cheap,
+incremental, immutable). Querying the federation then has two halves:
+
+1. **Statistics merge.** BM25's idf and length normalization are GLOBAL:
+   scoring each slice with its local (df, N, avgdl) makes scores
+   incomparable across slices (a term rare in yesterday's slice but
+   common overall gets yesterday's docs overboosted). Per-slice stats
+   are additive — df/cf sum, N sums, sum_dl sums — so the global stats
+   table is one groupBy(term) over the per-slice lexicons (vocabulary-
+   sized, tiny next to postings), and the scalar triple is a driver-side
+   sum of per-slice manifest rows. This is the same additivity the
+   segment merge (operators/merge.py) exploits; federation applies it at
+   QUERY time, leaving the slices untouched.
+
+2. **Scatter-gather retrieval.** The query runs over every slice's
+   postings with the MERGED stats, and per-slice top-k candidates merge
+   by score — with global stats the result is *bit-identical* to a
+   single monolithic index over the union corpus (the gate oracle
+   asserts exactly this: slice-invariance). In Spark the scatter is just
+   a union of the slices' tf tables tagged by slice — one plan, one
+   shuffle, every slice scanned in parallel; a time/tenant predicate
+   prunes whole slices before the scan (partition pruning when slices
+   are persisted partitionBy(slice)).
+
+The reference engine has the degenerate 2-slice form of this: parallel
+titles_* / repos_* index families queried together
+(SearchEngine Engine/Engine/Engine.cs:18,99-122); federation generalizes
+it to N homogeneous slices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators.forward import CorpusScalars
+
+
+def merge_slice_stats(slice_stats: list[DataFrame]) -> DataFrame:
+    """Per-slice term_stats(term, df, cf) -> global term_stats.
+
+    df and cf are additive across disjoint doc sets, so the merge is one
+    union + hash agg over vocabulary-sized inputs. A term present in one
+    slice only keeps its local counts — exactly its global counts."""
+    unioned = slice_stats[0]
+    for s in slice_stats[1:]:
+        unioned = unioned.unionByName(s)
+    return unioned.groupBy("term").agg(
+        F.sum("df").cast("long").alias("df"),
+        F.sum("cf").cast("long").alias("cf"),
+    )
+
+
+def merge_slice_scalars(slice_scalars: list[CorpusScalars]) -> CorpusScalars:
+    """Per-slice (N, sum_dl) -> global scalars. avgdl is NOT additive —
+    it is re-derived from the additive pair (the classic mergeable-
+    aggregate discipline: merge the moments, derive the ratio last)."""
+    n = sum(s.n_docs for s in slice_scalars)
+    sum_dl = sum(s.sum_dl for s in slice_scalars)
+    return CorpusScalars(
+        n_docs=n, avgdl=(sum_dl / n if n else 0.0), sum_dl=sum_dl
+    )
+
+
+def federated_tf(slices: list[tuple[str, DataFrame]]) -> DataFrame:
+    """[(slice_key, tf_table)] -> one (slice, term, doc_id, tf, dl)
+    table (dl rides along — BM25's length normalization needs it and the
+    per-slice tf tables already carry it).
+
+    The union is lazy metadata — Spark scans every slice in parallel
+    inside one job; a ``.filter(col("slice").isin(...))`` prunes whole
+    slices at plan time (constant-folded against the literal tag, or
+    partition-pruned against a persisted partitionBy("slice") layout)."""
+    tagged = [
+        tf.select(F.lit(key).alias("slice"), "term", "doc_id", "tf", "dl")
+        for key, tf in slices
+    ]
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionByName(t)
+    return out
+
+
+def federated_topk(
+    slices: list[tuple[str, DataFrame]],
+    slice_stats: list[DataFrame],
+    slice_scalars: list[CorpusScalars],
+    query: str,
+    k: int = 10,
+    slice_filter: list[str] | None = None,
+    mode: str = "bm25",
+) -> DataFrame:
+    """Top-k over a federation of independently-built slices ->
+    (doc_id, score), rounded 6dp, rank pinned (score desc, doc_id asc).
+
+    With no ``slice_filter`` the scores are bit-identical to a single
+    monolithic index over the union corpus (slice-invariance — the gate
+    oracle). With a filter, only the named slices are scanned (the
+    routing path: "search last 7 days"), still scored with GLOBAL stats
+    so results stay comparable to the full federation's.
+
+    Plan shape: stats merge is a vocabulary-sized agg; the retrieval is
+    the standard one-broadcast-one-hash-agg exhaustive plan over the
+    (pruned) union of slice postings. doc_ids are assumed globally
+    unique across slices (the builder's prefix-sum placement
+    guarantees it: operators/docids.py)."""
+    from searchengine_spark.operators.topk import score_all
+
+    stats = merge_slice_stats(slice_stats)
+    scalars = merge_slice_scalars(slice_scalars)
+    tf = federated_tf(slices)
+    if slice_filter is not None:
+        tf = tf.filter(F.col("slice").isin(list(slice_filter)))
+    return (
+        score_all(tf.drop("slice"), stats, scalars, query, mode)
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

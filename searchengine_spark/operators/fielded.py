@@ -272,3 +272,67 @@ def bm25f_topk_indexed(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def dis_max_topk(
+    field_tf: DataFrame,
+    term_stats: DataFrame,
+    n_docs: int,
+    query: str,
+    k: int = 10,
+    tie_breaker: float = 0.0,
+    b_per_field: dict[str, float] | None = None,
+    k1: float = 1.2,
+    field_scal: DataFrame | None = None,
+) -> DataFrame:
+    """Disjunction-max multi-field retrieval — the ES ``dis_max`` /
+    ``multi_match type=best_fields`` analog, the OTHER multi-field
+    composition next to BM25F's weighted-sum:
+
+        score(d) = max_f s_f(d) + tie_breaker * (sum_f s_f(d) - max_f)
+
+    where s_f is full BM25 over field f alone (per-field length
+    normalization via avgfdl_f, document-level df — the same statistics
+    treatment as ``bm25f_topk_indexed``, so the two modes share one
+    persisted field-split layout). tie_breaker=0 is pure best-field
+    ("a doc whose TITLE matches beats a doc whose body matches twice"),
+    1.0 degrades to the plain sum.
+
+    Plan shape: identical to bm25f_topk_indexed until the last agg —
+    query-term broadcast semi-join prunes the postings, ONE hash agg to
+    per-(doc, field) scores, then a per-doc agg combining max and sum
+    (both ride the same shuffle). -> top-k (doc_id, score), rounded 6dp,
+    rank pinned (score desc, doc_id asc).
+    """
+    b_per_field = b_per_field or {"title": 0.5, "body": 0.75}
+    spark = field_tf.sparkSession
+    scal = field_scal if field_scal is not None else field_avg_lengths(field_tf)
+    qt = query_terms_df(spark, query)
+    stats_q = term_stats.join(F.broadcast(qt.select("term")), "term")
+
+    b_map = F.create_map(*[F.lit(x) for kv in b_per_field.items() for x in kv])
+    b = F.coalesce(b_map[F.col("field")], F.lit(0.75))
+    idf = idf_col(F.col("df"), n_docs)
+    sat = F.col("tf") * F.lit(float(k1) + 1.0) / (
+        F.col("tf")
+        + F.lit(float(k1))
+        * (F.lit(1.0) - b + b * F.col("fdl") / F.col("avgfdl"))
+    )
+    per_field = (
+        field_tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(stats_q), "term")
+        .join(F.broadcast(scal), "field")
+        .withColumn("_p", F.col("qf") * idf * sat)
+        .groupBy("doc_id", "field")
+        .agg(F.sum("_p").alias("s_f"))
+    )
+    combined = (
+        F.max("s_f")
+        + F.lit(float(tie_breaker)) * (F.sum("s_f") - F.max("s_f"))
+    )
+    return (
+        per_field.groupBy("doc_id")
+        .agg(F.round(combined, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -425,3 +425,53 @@ def score_topk_after(
            & (F.col("doc_id") > int(after_doc)))
     )
     return after.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def function_score_topk(
+    tf_table: DataFrame,
+    term_stats: DataFrame,
+    scalars: CorpusScalars,
+    doc_attr: DataFrame,
+    query: str,
+    attr: str,
+    factor: float = 1.0,
+    modifier: str = "log1p",
+    missing: float = 0.0,
+    boost_mode: str = "multiply",
+    k: int = 10,
+    mode: str = "bm25",
+) -> DataFrame:
+    """Field-value-factor scoring — the ES ``function_score`` /
+    ``field_value_factor`` analog: fold a numeric document attribute
+    (popularity, vote count, freshness rank …) into the relevance score:
+
+        final = score OP modifier(factor * attr)
+        OP       ∈ {multiply, sum}          (ES boost_mode)
+        modifier ∈ {none, log1p, sqrt}      (the common ES modifiers)
+
+    The recency special-case is ``decay_topk``; this is the general
+    static-signal form. ``doc_attr`` is (doc_id, <attr>); like decay, the
+    attribute join touches only the CANDIDATE docs (post-agg, matched >=
+    1 term), never the corpus, and at 100 TB both sides bucket by doc_id
+    so it is a co-located hash join. Docs absent from ``doc_attr`` get
+    ``missing`` (ES's ``missing`` param) rather than being dropped.
+    -> top-k (doc_id, score) rounded 6dp, rank pinned."""
+    allsc = score_all(tf_table, term_stats, scalars, query, mode)
+    joined = allsc.join(doc_attr.select("doc_id", attr), "doc_id", "left")
+    v = F.coalesce(F.col(attr).cast("double"), F.lit(float(missing))) \
+        * F.lit(float(factor))
+    if modifier == "log1p":
+        fv = F.log(F.lit(1.0) + v)
+    elif modifier == "sqrt":
+        fv = F.sqrt(v)
+    elif modifier == "none":
+        fv = v
+    else:
+        raise ValueError(f"unknown modifier {modifier!r}")
+    final = (F.col("score") * fv if boost_mode == "multiply"
+             else F.col("score") + fv)
+    return (
+        joined.select("doc_id", F.round(final, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

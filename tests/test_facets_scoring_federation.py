@@ -1,0 +1,282 @@
+"""Round-3c operators: sub-aggregations (facet_stats, facet_top_hits),
+dis_max multi-field scoring, function_score field-value-factor, and
+cross-slice federated search with merged global statistics."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators.docids import assign_doc_ids
+from searchengine_spark.operators.forward import (
+    CorpusScalars,
+    build_forward,
+    build_term_stats,
+    explode_forward,
+)
+
+
+@pytest.fixture(scope="module")
+def built(spark, small):
+    doc_map = assign_doc_ids(small, num_partitions=4).cache()
+    forward = build_forward(doc_map).cache()
+    tf_table = explode_forward(forward)
+    stats = build_term_stats(tf_table).cache()
+    scalars = CorpusScalars.compute(forward)
+    return doc_map, forward, tf_table, stats, scalars
+
+
+@pytest.fixture(scope="module")
+def q2(built):
+    """Two frequent corpus terms (the synth vocabulary is seed-derived,
+    so query terms are looked up, not hardcoded)."""
+    _, _, _, stats, _ = built
+    rows = stats.orderBy(F.desc("df"), F.asc("term")).limit(2).collect()
+    return f"{rows[0].term} {rows[1].term}"
+
+
+# ---------------------------------------------------------------------------
+# facet sub-aggregations
+# ---------------------------------------------------------------------------
+
+
+def test_facet_stats_null_attr_counted_in_n_only(spark):
+    """ES doc_count vs sub-agg count: a NULL numeric value still counts
+    in n but contributes to no statistic."""
+    from searchengine_spark.operators.facets import facet_stats
+
+    hits = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    attrs = spark.createDataFrame(
+        [(0, "a", 10.0), (1, "a", None), (2, "b", 4.0), (3, "b", 6.0),
+         (9, "a", 99.0)],  # doc 9 not in hits -> ignored
+        "doc_id long, src string, v double",
+    )
+    out = {r.value: r for r in
+           facet_stats(hits, attrs, by="src", attr="v").collect()}
+    assert out["a"].n == 2 and out["a"].sum_v == 10.0 \
+        and out["a"].avg_v == 10.0
+    assert out["b"].n == 2 and out["b"].min_v == 4.0 \
+        and out["b"].max_v == 6.0 and out["b"].avg_v == 5.0
+
+
+def test_facet_top_hits_per_bucket_cutoff(spark):
+    from searchengine_spark.operators.facets import facet_top_hits
+
+    hits = spark.createDataFrame(
+        [(i, float(10 - i)) for i in range(6)], "doc_id long, score double")
+    attrs = spark.createDataFrame(
+        [(i, "a" if i < 4 else "b") for i in range(6)],
+        "doc_id long, src string")
+    rows = facet_top_hits(hits, attrs, by="src", per_bucket=2).collect()
+    got = [(r.value, r.rank, r.doc_id) for r in rows]
+    # bucket a: docs 0..3 scores 10..7 -> top2 = 0,1; bucket b: 4,5
+    assert got == [("a", 1, 0), ("a", 2, 1), ("b", 1, 4), ("b", 2, 5)]
+
+
+# ---------------------------------------------------------------------------
+# dis_max
+# ---------------------------------------------------------------------------
+
+
+def _per_field_scores(ftf, stats, n_docs, query, field):
+    from searchengine_spark.operators.fielded import dis_max_topk
+
+    one = ftf.filter(F.col("field") == field)
+    return {
+        r.doc_id: r.score
+        for r in dis_max_topk(one, stats, n_docs, query, k=1000,
+                              tie_breaker=0.0).collect()
+    }
+
+
+def test_dis_max_tiebreaker_envelope(built, spark, q2):
+    """tie_breaker=0 -> per-doc max of single-field scores;
+    tie_breaker=1 -> their sum (both computed by running dis_max on one
+    field at a time, which degenerates to plain per-field BM25)."""
+    from searchengine_spark.operators.fielded import (
+        build_split_field_tf, dis_max_topk,
+    )
+
+    doc_map, _, _, stats, scalars = built
+    ftf = build_split_field_tf(doc_map, title_len=4).cache()
+    q = q2
+    t = _per_field_scores(ftf, stats, scalars.n_docs, q, "title")
+    b = _per_field_scores(ftf, stats, scalars.n_docs, q, "body")
+    best = {r.doc_id: r.score
+            for r in dis_max_topk(ftf, stats, scalars.n_docs, q, k=1000,
+                                  tie_breaker=0.0).collect()}
+    summed = {r.doc_id: r.score
+              for r in dis_max_topk(ftf, stats, scalars.n_docs, q, k=1000,
+                                    tie_breaker=1.0).collect()}
+    assert best, "query must match"
+    for d, s in best.items():
+        want = max(t.get(d, 0.0), b.get(d, 0.0))
+        assert s == pytest.approx(want, abs=2e-6)
+    for d, s in summed.items():
+        want = t.get(d, 0.0) + b.get(d, 0.0)
+        assert s == pytest.approx(want, abs=2e-6)
+    ftf.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# function_score
+# ---------------------------------------------------------------------------
+
+
+def test_function_score_modifiers_and_missing(built, spark, q2):
+    from searchengine_spark.operators.topk import function_score_topk, score_topk
+
+    doc_map, _, tf_table, stats, scalars = built
+    q = q2.split()[0]
+    base = {r.doc_id: r.score
+            for r in score_topk(tf_table, stats, scalars, q, k=1000).collect()}
+    # attr only for half the candidates; missing=2.0, modifier none,
+    # multiply -> score * factor*attr (or *2.0 when absent)
+    some = spark.createDataFrame(
+        [(d, 3.0) for d in list(base)[: len(base) // 2]],
+        "doc_id long, popularity double")
+    out = function_score_topk(
+        tf_table, stats, scalars, some, q, attr="popularity",
+        factor=1.0, modifier="none", missing=2.0, k=1000)
+    got = {r.doc_id: r.score for r in out.collect()}
+    have = set(r.doc_id for r in some.collect())
+    assert set(got) == set(base)  # nobody dropped
+    for d, s in got.items():
+        mult = 3.0 if d in have else 2.0
+        assert s == pytest.approx(round(base[d] * mult, 6), abs=2e-6)
+
+
+def test_function_score_rejects_unknown_modifier(built):
+    from searchengine_spark.operators.topk import function_score_topk
+
+    _, _, tf_table, stats, scalars = built
+    with pytest.raises(ValueError):
+        function_score_topk(tf_table, stats, scalars,
+                            tf_table.select("doc_id").limit(1),
+                            "x", attr="doc_id", modifier="cube")
+
+
+# ---------------------------------------------------------------------------
+# federation
+# ---------------------------------------------------------------------------
+
+
+def _sliced(doc_map, n_slices):
+    slices, st, sc = [], [], []
+    for i in range(n_slices):
+        sdocs = doc_map.filter(F.col("doc_id") % n_slices == i)
+        fwd = build_forward(sdocs)
+        tf = explode_forward(fwd)
+        slices.append((f"s{i}", tf))
+        st.append(build_term_stats(tf))
+        sc.append(CorpusScalars.compute(fwd))
+    return slices, st, sc
+
+
+def test_federated_slice_invariance(built, q2):
+    """The flagship property: querying 3 independently-built slices with
+    MERGED stats is bit-identical to one monolithic index."""
+    from searchengine_spark.operators.federation import federated_topk
+    from searchengine_spark.operators.topk import score_topk
+
+    doc_map, _, tf_table, stats, scalars = built
+    slices, st, sc = _sliced(doc_map, 3)
+    fed = federated_topk(slices, st, sc, q2, k=10_000)
+    mono = (
+        score_topk(tf_table, stats, scalars, q2, k=10_000)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+    f = {r.doc_id: r.score for r in fed.collect()}
+    m = {r.doc_id: r.score for r in mono.collect()}
+    assert f and f == m
+
+
+def test_federated_local_stats_would_differ(built, q2):
+    """Negative control: scoring one slice with its LOCAL stats diverges
+    from the global-stats scores — the statistics merge is load-bearing,
+    not decorative."""
+    from searchengine_spark.operators.federation import (
+        federated_topk, merge_slice_scalars, merge_slice_stats,
+    )
+
+    doc_map, *_ = built
+    slices, st, sc = _sliced(doc_map, 3)
+    # global-stats scores restricted to slice 0's docs
+    glob = federated_topk(slices, st, sc, q2, k=1000,
+                          slice_filter=["s0"])
+    # local-stats scores of slice 0 alone (a 1-slice federation)
+    loc = federated_topk(slices[:1], st[:1], sc[:1], q2, k=1000)
+    g = {r.doc_id: r.score for r in glob.collect()}
+    l = {r.doc_id: r.score for r in loc.collect()}
+    assert set(g) == set(l)  # same candidate docs...
+    assert any(abs(g[d] - l[d]) > 1e-6 for d in g)  # ...different scores
+
+
+def test_federated_slice_filter_prunes_scan(built):
+    """A slice filter must fold to a plan that never scans the excluded
+    slices: the literal slice tag makes the filter constant-foldable, so
+    the pruned union has fewer scan nodes."""
+    from searchengine_spark.operators.federation import federated_tf
+
+    doc_map, *_ = built
+    slices, _, _ = _sliced(doc_map, 3)
+    tf = federated_tf(slices)
+    pruned = tf.filter(F.col("slice") == "s1")
+    plan = pruned._jdf.queryExecution().optimizedPlan().toString()
+    # constant-folding rewrites s0/s2 branches to empty relations: the
+    # optimized plan keeps at most one non-empty scan branch
+    assert plan.count("LocalRelation <empty>") >= 2 or "Union" not in plan
+
+
+# ---------------------------------------------------------------------------
+# engine surface: delete_by_query, dis_max serving path
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def eng_idx(spark, small, tmp_path_factory):
+    from searchengine_spark.pipeline import run_build
+
+    out = str(tmp_path_factory.mktemp("r3cidx"))
+    run_build(spark, small, out, num_doc_partitions=3, layouts=("doc",),
+              n_shards=4)
+    return out
+
+
+def test_delete_by_query_masks_all_matches(spark, eng_idx, q2):
+    from searchengine_spark.engine import SearchEngine
+
+    eng = SearchEngine.load(spark, eng_idx)
+    term = q2.split()[0]
+    before = eng.search(term, k=5, mode="exhaustive").collect()
+    assert before
+    dead = eng.delete_by_query(term)
+    assert len(dead) >= len(before)
+    # every match of the term is now tombstoned -> zero hits
+    assert eng.search(term, k=5, mode="exhaustive").count() == 0
+    assert eng.search(term, k=5, mode="wand").count() == 0
+    os.remove(eng._tombstone_path())
+
+
+def test_engine_dis_max_vs_operator(spark, eng_idx, q2):
+    """Serving path == direct operator over the same layout, and the
+    layout cache is shared with search_bm25f (built once)."""
+    from searchengine_spark.engine import SearchEngine
+    from searchengine_spark.operators.fielded import (
+        build_split_field_tf, dis_max_topk,
+    )
+
+    eng = SearchEngine.load(spark, eng_idx)
+    got = [(r.doc_id, r.score)
+           for r in eng.search_dis_max(q2, k=5, tie_breaker=0.3).collect()]
+    ftf = build_split_field_tf(eng.doc_map.select("doc_id", "text"), 8)
+    want = [(r.doc_id, r.score)
+            for r in dis_max_topk(ftf, eng.term_stats, eng.scalars.n_docs,
+                                  q2, k=5, tie_breaker=0.3).collect()]
+    assert got == want and got
+    # bm25f reuses the cached layout object
+    cache1 = eng._bm25f_cache[1]
+    eng.search_bm25f(q2, k=3).collect()
+    assert eng._bm25f_cache[1] is cache1
