@@ -1589,7 +1589,7 @@ def _scaling_bench(spark, t_total0: float) -> dict:
         # QUERY-PATH scaling (the serving twin of the build record): the
         # same two warm pinned servers each build + keep ONE index (paid
         # by the first, unscored QBENCH call), then adjacent sequential
-        # timed batch-query rounds — 64 WAND queries per batch in one
+        # timed batch-query rounds — one batch of WAND queries in one
         # segment scan. eff = qwall_N / (4 * qwall_4N); identical result
         # hash across widths = rank-identity at both widths.
         q_rounds_n = int(os.environ.get("SPARK_GRAFT_QSCALE_ROUNDS", "3"))
@@ -1601,11 +1601,14 @@ def _scaling_bench(spark, t_total0: float) -> dict:
                 time.perf_counter() - t_total0 < SCALE_BUDGET_S + 180:
             # index build + first batch concurrently per side (unscored)
             res_w: dict = {}
+            q_nq = 0
             ths = [threading.Thread(
                 target=lambda c=c: res_w.__setitem__(c, servers[c].qbench()))
                 for c in (n_lo, n_hi)]
             [t.start() for t in ths]
             [t.join() for t in ths]
+            q_nq = max((r.get("queries", 0) for r in res_w.values()),
+                       default=0)
             for rnd in range(q_rounds_n):
                 st0 = _host_steal_s()
                 lo_q = servers[n_lo].qbench()
@@ -1794,10 +1797,11 @@ def _scaling_bench(spark, t_total0: float) -> dict:
                          / ((n_hi / n_lo) * min(q_walls[n_hi])), 3)
         build["query_scaling"] = {
             "method": ("adjacent sequential batch-query rounds on the "
-                       "same warm pinned servers; 64 WAND queries per "
-                       "batch over the kept per-width index (bit-"
+                       f"same warm pinned servers; {q_nq} WAND queries "
+                       "per batch over the kept per-width index (bit-"
                        "identical across widths); eff = "
                        f"qwall_{n_lo} / ({n_hi // n_lo}*qwall_{n_hi})"),
+            "queries_per_batch": q_nq,
             "rounds": len(q_effs),
             f"qwall_{n_lo}_best": min(q_walls[n_lo]),
             f"qwall_{n_hi}_best": min(q_walls[n_hi]),

@@ -9,7 +9,7 @@ same lifecycle is a stdlib ``ThreadingHTTPServer`` in front of
 
     GET /search?q=words&k=10[&mode=wand|term|exhaustive|reference|
                               phrase|near|prf|prefix|fuzzy|regex|
-                              lm|bm25f|msm][&w=5][&m=2][&snippets=1]
+                              lm|bm25f|dismax|msm][&w=5][&m=2][&snippets=1]
         (mode=phrase: q is an exact phrase; mode=near: q is two terms,
          w the token window; mode=prefix: q is a term prefix, wildcard
          rewrite; mode=fuzzy: q is a single term, levenshtein<=2 rewrite;
@@ -25,6 +25,8 @@ same lifecycle is a stdlib ``ThreadingHTTPServer`` in front of
     GET /explain?q=words&id=123  -> per-term score breakdown (ES _explain)
     GET /sigterms?q=words&k=100&n=10 -> JLH significant terms of the hit set
     GET /histogram?q=words&interval=3600 -> date-histogram facet of the hits
+    GET /facetstats?q=words&by=role&attr=dl -> terms+stats sub-agg of hits
+    GET /tophits?q=words&by=role&m=3 -> terms+top_hits sub-agg of hits
     GET /healthz         -> {"status": "ok", "n_docs": N}
 
 Spark's driver is single-process, so request handlers serialize their
@@ -45,8 +47,8 @@ from urllib.parse import parse_qs, urlparse
 from searchengine_spark.engine import SearchEngine
 
 _MODES = {"wand", "term", "exhaustive", "reference", "phrase", "near",
-          "prf", "prefix", "fuzzy", "regex", "lm", "bm25f", "msm",
-          "stemmed", "substring"}
+          "prf", "prefix", "fuzzy", "regex", "lm", "bm25f", "dismax",
+          "msm", "stemmed", "substring"}
 
 
 def _run_search(engine: SearchEngine, q: str, k: int, mode: str,
@@ -68,6 +70,8 @@ def _run_search(engine: SearchEngine, q: str, k: int, mode: str,
         return engine.search_lm(q, k=k)
     if mode == "bm25f":
         return engine.search_bm25f(q, k=k)
+    if mode == "dismax":
+        return engine.search_dis_max(q, k=k, tie_breaker=0.3)
     if mode == "stemmed":
         return engine.search_stemmed(q, k=k)
     if mode == "substring":
@@ -160,6 +164,37 @@ def make_handler(engine: SearchEngine, lock: threading.Lock):
                         "query": q, "field": field, "k": k,
                         "facets": [{"value": r["value"], "n": int(r["n"])}
                                    for r in rows],
+                    })
+                elif url.path == "/facetstats":
+                    q = (qs.get("q") or [""])[0]
+                    by = (qs.get("by") or ["role"])[0]
+                    attr = (qs.get("attr") or ["dl"])[0]
+                    k = int((qs.get("k") or ["100"])[0])
+                    with lock:
+                        rows = engine.facet_stats(q, by=by, attr=attr,
+                                                  k=k).collect()
+                    self._reply(200, {
+                        "query": q, "by": by, "attr": attr, "k": k,
+                        "buckets": [
+                            {"value": r["value"], "n": int(r["n"]),
+                             "min": r["min_v"], "max": r["max_v"],
+                             "avg": r["avg_v"], "sum": r["sum_v"]}
+                            for r in rows],
+                    })
+                elif url.path == "/tophits":
+                    q = (qs.get("q") or [""])[0]
+                    by = (qs.get("by") or ["role"])[0]
+                    m = int((qs.get("m") or ["3"])[0])
+                    k = int((qs.get("k") or ["100"])[0])
+                    with lock:
+                        rows = engine.facet_top_hits(
+                            q, by=by, per_bucket=m, k=k).collect()
+                    self._reply(200, {
+                        "query": q, "by": by, "per_bucket": m, "k": k,
+                        "hits": [{"value": r["value"], "rank": int(r["rank"]),
+                                  "doc_id": int(r["doc_id"]),
+                                  "score": float(r["score"])}
+                                 for r in rows],
                     })
                 elif url.path == "/sigterms":
                     q = (qs.get("q") or [""])[0]

@@ -396,3 +396,30 @@ def test_termvectors_via_engine(served):
             .select(F.explode("terms").alias("term")).collect()]
     assert set(tv) == set(toks)
     assert all(r.first_pos >= 0 and r.tf >= 1 and r.df >= 1 for r in tv.values())
+
+
+def test_facetstats_and_tophits_endpoints(served):
+    """/facetstats buckets sum to the hit count; /tophits ranks per
+    bucket and agrees with the direct engine call; mode=dismax serves."""
+    eng, base = served
+    status, body = _get(f"{base}/facetstats?q=bababa&by=role&attr=dl&k=20")
+    assert status == 200 and body["by"] == "role"
+    n_hits = eng.search("bababa", k=20).count()
+    assert sum(b["n"] for b in body["buckets"]) == n_hits
+    assert all(b["min"] <= b["avg"] <= b["max"]
+               for b in body["buckets"] if b["n"])
+
+    status, th = _get(f"{base}/tophits?q=bababa&by=role&m=2&k=20")
+    assert status == 200
+    api = eng.facet_top_hits("bababa", by="role", per_bucket=2,
+                             k=20).collect()
+    assert [(h["value"], h["rank"], h["doc_id"]) for h in th["hits"]] == \
+        [(r.value, r.rank, r.doc_id) for r in api]
+    assert all(h["rank"] <= 2 for h in th["hits"])
+
+    status, dm = _get(f"{base}/search?q=bababa+dadada&k=5&mode=dismax")
+    assert status == 200
+    direct = eng.search_dis_max("bababa dadada", k=5,
+                                tie_breaker=0.3).collect()
+    assert [r["doc_id"] for r in dm["results"]] == \
+        [r.doc_id for r in direct]
