@@ -947,7 +947,43 @@ def query_bench(spark) -> tuple[dict, dict]:
     timed("bm25f_topk_indexed", lambda: bm25f_topk_indexed(
         ftf_idx, idx.term_stats, idx.scalars.n_docs, single_q,
         k=TOPK, field_scal=fscal).collect())
+    # dis_max rides the SAME persisted field-split layout (best-field +
+    # tie_breaker composition instead of BM25F's weighted sum)
+    from searchengine_spark.operators.fielded import dis_max_topk
+
+    timed("dis_max_topk", lambda: dis_max_topk(
+        ftf_idx, idx.term_stats, idx.scalars.n_docs, single_q,
+        k=TOPK, tie_breaker=0.3, field_scal=fscal).collect())
     ftf_idx.unpersist()
+    # function_score: BM25 * log1p(attr) — candidate-side join only
+    from searchengine_spark.operators.topk import function_score_topk
+
+    doc_nchars = raw_docs.select("doc_id", "n_chars")
+    timed("function_score_topk", lambda: function_score_topk(
+        idx.tf_table, idx.term_stats, idx.scalars, doc_nchars,
+        single_q, attr="n_chars", factor=0.01, k=TOPK).collect())
+    # sub-aggregations over the top-100 hit set
+    from searchengine_spark.operators.facets import facet_stats, facet_top_hits
+
+    def _hits100():
+        return (score_topk(idx.tf_table, idx.term_stats, idx.scalars,
+                           single_q, k=100)
+                .select("doc_id", F.round("score", 6).alias("score")))
+
+    timed("facet_stats", lambda: facet_stats(
+        _hits100().select("doc_id"),
+        raw_docs.select("doc_id", "source", "n_chars"),
+        by="source", attr="n_chars").collect())
+    timed("facet_top_hits", lambda: facet_top_hits(
+        _hits100(), raw_docs.select("doc_id", "source"),
+        by="source", per_bucket=3).collect())
+    # cross-slice federated WAND end-to-end (2 per-length slices built
+    # independently + admissibility-corrected query; a build+query
+    # composite, so single-rep like the other *index_build* steps)
+    from searchengine_spark.entry_queries import q_federated_wand_topk
+
+    timed("federated_index_build_and_wand", lambda: q_federated_wand_topk(
+        spark, SF_DIR).collect())
     # field collapsing: exact grouped top-k over the matching set
     from searchengine_spark.operators.collapse import collapse_topk
 

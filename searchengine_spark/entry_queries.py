@@ -3419,6 +3419,47 @@ def q_federated_topk(spark, sf_dir):
                           _FED_QUERY, k=10)
 
 
+_FEDW_SPLIT_CHARS = 300
+
+
+def q_federated_wand_topk(spark, sf_dir):
+    """Federated block-max WAND over per-slice SEGMENT layouts
+    (operators/federation.py federated_wand_topk): corpus split into a
+    short-doc and a long-doc slice (n_chars < 300) so each slice's baked
+    avgdl diverges from the global one, each slice's segments built
+    INDEPENDENTLY with its own stats, then queried together with merged
+    global statistics and the max(1, avgdl_g/avgdl_s) block-max
+    inflation that keeps pruning admissible. The oracle is plain
+    monolithic exhaustive BM25 — the strongest slice-invariance claim:
+    even the PRUNED serving path is bit-identical across the
+    federation boundary."""
+    from searchengine_spark.operators.federation import federated_wand_topk
+    from searchengine_spark.operators.segments import build_doc_segments
+
+    docs = _docs(spark, sf_dir)
+    slice_segments, slice_stats, slice_scalars = [], [], []
+    for name, cond in [
+        ("short", F.col("n_chars") < _FEDW_SPLIT_CHARS),
+        ("long", F.col("n_chars") >= _FEDW_SPLIT_CHARS),
+    ]:
+        fwd = build_forward(docs.filter(cond))
+        tf = explode_forward(fwd)
+        st = build_term_stats(tf)
+        sc = CorpusScalars.compute(fwd)
+        slice_segments.append(
+            (name, build_doc_segments(tf, st, sc.n_docs, sc.avgdl,
+                                      n_shards=4)))
+        slice_stats.append(st)
+        slice_scalars.append(sc)
+    topk = federated_wand_topk(slice_segments, slice_stats, slice_scalars,
+                               _FED_QUERY, k=10)
+    return (
+        topk.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3436,6 +3477,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dis_max_topk": q_dis_max_topk,
         "function_score_topk": q_function_score_topk,
         "federated_topk": q_federated_topk,
+        "federated_wand_topk": q_federated_wand_topk,
         "stemmed_topk": q_stemmed_topk,
         "substring_search": q_substring_search,
         "term_vectors": q_term_vectors,
@@ -3567,6 +3609,7 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "dis_max_topk": _dis_max_sql(),
         "function_score_topk": _function_score_sql(),
         "federated_topk": _bm25_topk_sql(_FED_QUERY, 10),
+        "federated_wand_topk": _bm25_topk_sql(_FED_QUERY, 10),
         "stemmed_topk": _stemmed_topk_sql(),
         "substring_search": _substring_search_sql(),
         "term_vectors": _term_vectors_sql(),

@@ -121,3 +121,69 @@ def federated_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def federated_wand_topk(
+    slice_segments: list[tuple[str, DataFrame]],
+    slice_stats: list[DataFrame],
+    slice_scalars: list[CorpusScalars],
+    query: str,
+    k: int = 10,
+    exclude=None,
+) -> DataFrame:
+    """Block-max WAND across independently-built SEGMENT layouts — the
+    federation's serving path (federated_topk is the exhaustive
+    verification twin): per-slice doc-sharded segments queried together,
+    scores computed with MERGED global statistics, result bit-identical
+    to WAND over one monolithic index (which itself equals exhaustive
+    global BM25 — asserted transitively in tests).
+
+    The subtlety is block-max admissibility. A segment's
+    ``block_max_core`` is the idf-free BM25 core maximized per block,
+    baked at BUILD time with the SLICE's avgdl; idf arrives at query
+    time from term_stats (so the stats merge handles df/N for free).
+    But querying with the GLOBAL avgdl changes the core itself: for
+    avgdl_g > avgdl_s the true core of every posting GROWS (length
+    normalization shrinks), so the slice's baked maxima underestimate
+    and WAND could prune true hits. The exact worst-case growth is
+    bounded:
+
+        core(avgdl_g)/core(avgdl_s)
+          = (tf + k1(1-b) + k1·b·dl/avgdl_s)
+          / (tf + k1(1-b) + k1·b·dl/avgdl_g)   <=  avgdl_g/avgdl_s
+
+    (monotone in dl; the sup as dl→inf is the avgdl ratio), so scaling
+    each slice's block maxima by max(1, avgdl_g/avgdl_s) restores
+    admissibility — a per-slice constant folded into the array column,
+    no re-encode. Slices with avgdl above global keep their (already
+    admissible, slightly loose) maxima. Exact scoring inside the kernel
+    uses the stored per-posting (tf, dl) with the global avgdl, so
+    final scores are exact global BM25 regardless of the bound scaling.
+
+    Shard keys are made slice-unique (shard*n_slices + i) so one WAND
+    task never mixes two slices' lists of the same term; the k-merge
+    across tasks is the ordinary per-shard top-k union.
+    """
+    from searchengine_spark.operators.wand import wand_topk
+
+    stats = merge_slice_stats(slice_stats)
+    g = merge_slice_scalars(slice_scalars)
+    n = len(slice_segments)
+    parts = []
+    for i, (key, segs) in enumerate(slice_segments):
+        s_avgdl = slice_scalars[i].avgdl or g.avgdl
+        infl = max(1.0, g.avgdl / s_avgdl) if s_avgdl else 1.0
+        parts.append(
+            segs.withColumn(
+                "shard",
+                (F.col("shard").cast("long") * n + F.lit(i)),
+            ).withColumn(
+                "block_max_core",
+                F.expr(f"transform(block_max_core, x -> x * {infl!r}D)"),
+            )
+        )
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    return wand_topk(unioned, query, stats, g.n_docs, g.avgdl, k=k,
+                     exclude=exclude)

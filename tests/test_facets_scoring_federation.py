@@ -280,3 +280,41 @@ def test_engine_dis_max_vs_operator(spark, eng_idx, q2):
     cache1 = eng._bm25f_cache[1]
     eng.search_bm25f(q2, k=3).collect()
     assert eng._bm25f_cache[1] is cache1
+
+
+def test_federated_wand_cross_slice_admissibility(built, q2):
+    """Federated WAND over per-slice SEGMENT layouts == exhaustive
+    global BM25, with slices deliberately split by document length so
+    the slices' baked avgdl diverges from the global one — the case
+    where uncorrected block maxima are inadmissible (a short-doc
+    slice's true cores GROW under the larger global avgdl). The
+    max(1, avgdl_g/avgdl_s) bound scaling must keep pruning exact."""
+    from searchengine_spark.operators.federation import (
+        federated_wand_topk, merge_slice_scalars,
+    )
+    from searchengine_spark.operators.segments import build_doc_segments
+    from searchengine_spark.operators.topk import score_topk
+
+    doc_map, forward, tf_table, stats, scalars = built
+    med = forward.approxQuantile("dl", [0.5], 0.0)[0]
+    slice_segments, slice_stats, slice_scalars = [], [], []
+    for name, cond in [("short", F.col("dl") <= med),
+                       ("long", F.col("dl") > med)]:
+        fwd_s = forward.filter(cond)
+        tf_s = explode_forward(fwd_s)
+        st_s = build_term_stats(tf_s)
+        sc_s = CorpusScalars.compute(fwd_s)
+        segs = build_doc_segments(tf_s, st_s, sc_s.n_docs, sc_s.avgdl,
+                                  n_shards=3)
+        slice_segments.append((name, segs))
+        slice_stats.append(st_s)
+        slice_scalars.append(sc_s)
+    g = merge_slice_scalars(slice_scalars)
+    # the setup must actually exercise the inflation path
+    assert g.avgdl / slice_scalars[0].avgdl > 1.001
+    fed = federated_wand_topk(slice_segments, slice_stats, slice_scalars,
+                              q2, k=10)
+    mono = score_topk(tf_table, stats, scalars, q2, k=10)
+    got = [(r.doc_id, round(r.score, 6)) for r in fed.collect()]
+    want = [(r.doc_id, round(r.score, 6)) for r in mono.collect()]
+    assert got == want and got
