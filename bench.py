@@ -1389,12 +1389,31 @@ def _headline_line(full: dict, build: dict, timings: dict, extra: dict,
     line = json.dumps(headline, separators=(",", ":"))
     # defense in depth: shed before ever exceeding the driver's buffer —
     # first the scale-twin timings (duplicated in the sidecar's dedicated
-    # ann_scale/skew_scale blocks), then whole optional sections
+    # ann_scale/skew_scale blocks), then NON-CORE query timings (the
+    # operator roster outgrew the buffer in r3 and the old order threw
+    # away the pruning/recall evidence while keeping 50 latencies — the
+    # sidecar always has everything), then whole optional sections
     if len(line) > 1900:
         for k in [k for k in headline["queries"]
                   if k.endswith("_sf1") or k.endswith("_scale")]:
             headline["queries"].pop(k)
         line = json.dumps(headline, separators=(",", ":"))
+    core = {
+        "index_build", "bm25_topk_exhaustive", "wand_topk",
+        "wand_topk_rare", "batch_topk_100q", "phrase_topk",
+        "phrase_topk_indexed", "term_index_build_salted", "prf_topk",
+        "minhash_lsh", "simhash", "dedup_exact", "dedup_components",
+        "span_dedup", "ann_index_build", "ann_topk", "pq_topk",
+        "bm25f_topk_indexed", "dis_max_topk",
+        "federated_index_build_and_wand", "lm_dirichlet_topk",
+        "budget_select", "sessionize_skew_bucketed",
+    }
+    if len(line) > 1900:
+        for k in sorted(k for k in headline["queries"] if k not in core):
+            if len(line) <= 1900:
+                break
+            headline["queries"].pop(k)
+            line = json.dumps(headline, separators=(",", ":"))
     for drop in ("wand_scored_frac", "ann_recall_at_10", "corpus_docs",
                  "queries"):
         if len(line) <= 1900:
