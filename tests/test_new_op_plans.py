@@ -326,3 +326,93 @@ def test_msm_plan_rides_score_agg(spark, docs):
     btree, bex = _shuffles(score_topk(tf, stats, scalars, "alpha beta"))
     assert "Expand" not in mtree, mtree
     assert len(mex) == len(bex), mtree + "\n====\n" + btree
+
+
+def test_round3c_plans(spark, docs):
+    """Round-3c plan hygiene: dis_max and function_score keep the
+    query-broadcast + bounded-top-k shape; the facet sub-aggs broadcast
+    the k-row hit set (never shuffle the doc store toward the hits) and
+    facet_top_hits compiles its per-bucket rank to WindowGroupLimit;
+    facet_ranges is ONE aggregate (no per-range jobs)."""
+    from searchengine_spark.operators.facets import (
+        facet_ranges,
+        facet_stats,
+        facet_top_hits,
+    )
+    from searchengine_spark.operators.fielded import (
+        build_split_field_tf,
+        dis_max_topk,
+    )
+    from searchengine_spark.operators.forward import (
+        CorpusScalars,
+        build_forward,
+        build_term_stats,
+        explode_forward,
+    )
+    from searchengine_spark.operators.topk import function_score_topk
+
+    fwd = build_forward(docs)
+    tf = explode_forward(fwd)
+    stats = build_term_stats(tf)
+    scal = CorpusScalars.compute(fwd)
+    ftf = build_split_field_tf(docs, title_len=3)
+    attr = docs.select("doc_id", F.length("text").alias("v"))
+
+    for df in (
+        dis_max_topk(ftf, stats, scal.n_docs, "alpha beta", k=5),
+        function_score_topk(tf, stats, scal, attr, "alpha beta",
+                            attr="v", k=5),
+    ):
+        tree = _tree(_plan(df))
+        assert "CartesianProduct" not in tree, tree
+        assert "BroadcastHashJoin" in tree, tree
+        assert "TakeOrderedAndProject" in tree, tree
+
+    hits = docs.select("doc_id").limit(10)
+    scored = docs.select("doc_id", F.lit(1.0).alias("score")).limit(10)
+    for df in (
+        facet_stats(hits, docs.select("doc_id", "text", "doc_id"
+                                      ).select("doc_id", F.col("text").alias("src"),
+                                               F.col("doc_id").alias("v")),
+                    by="src", attr="v"),
+        facet_ranges(hits, attr, [("a", None, 5.0), ("b", 5.0, None)],
+                     attr="v"),
+    ):
+        tree = _tree(_plan(df))
+        assert "BroadcastHashJoin" in tree, tree
+        assert "CartesianProduct" not in tree, tree
+    th_tree = _tree(_plan(facet_top_hits(
+        scored, docs.select("doc_id", F.col("text").alias("src")),
+        by="src", per_bucket=2)))
+    assert "WindowGroupLimit" in th_tree, th_tree
+
+
+def test_federated_wand_single_grouped_stage(spark, docs):
+    """The federated-WAND union must reach the kernel as ONE grouped
+    stage (no per-slice jobs): a single FlatMapGroupsInArrow/
+    ApplyInPandas node over the unioned, slice-unique-sharded rows."""
+    from searchengine_spark.operators.federation import federated_wand_topk
+    from searchengine_spark.operators.forward import (
+        CorpusScalars,
+        build_forward,
+        build_term_stats,
+        explode_forward,
+    )
+    from searchengine_spark.operators.segments import build_doc_segments
+
+    seg, st, sc = [], [], []
+    for i, cond in enumerate([F.col("doc_id") % 2 == 0,
+                              F.col("doc_id") % 2 == 1]):
+        fwd = build_forward(docs.filter(cond))
+        tf = explode_forward(fwd)
+        stats = build_term_stats(tf)
+        scals = CorpusScalars.compute(fwd)
+        seg.append((f"s{i}", build_doc_segments(
+            tf, stats, scals.n_docs, scals.avgdl, n_shards=2)))
+        st.append(stats)
+        sc.append(scals)
+    out = federated_wand_topk(seg, st, sc, "alpha beta", k=5)
+    tree = _tree(_plan(out))
+    n_grouped = tree.count("FlatMapGroupsInPandas") \
+        + tree.count("FlatMapGroupsInArrow")
+    assert n_grouped == 1, tree
