@@ -326,6 +326,22 @@ class SearchEngine:
         return facet_top_hits(hits, self.doc_map.select("doc_id", by),
                               by=by, per_bucket=per_bucket)
 
+    def facet_percentiles(self, query: str, by: str = "role",
+                          attr: str = "dl", k: int = 100,
+                          probs: tuple = (0.25, 0.5, 0.75, 0.9),
+                          approx: bool = False,
+                          mode: str = "wand") -> DataFrame:
+        """Terms facet + percentiles sub-agg over the top-k hit set
+        (operators/facets.py facet_percentiles — ES terms+percentiles):
+        per-bucket quantiles of a doc-store attribute; approx=True uses
+        the mergeable GK sketch."""
+        from searchengine_spark.operators.facets import facet_percentiles
+
+        hits = self.search(query, k=k, mode=mode).select("doc_id")
+        return facet_percentiles(hits, self.doc_map.select("doc_id", by, attr),
+                                 by=by, attr=attr, probs=probs,
+                                 approx=approx)
+
     def search_boosted(self, query: str, attr: str, factor: float = 1.0,
                        modifier: str = "log1p", k: int = 10) -> DataFrame:
         """Field-value-factor retrieval (operators/topk.py

@@ -3419,6 +3419,40 @@ def q_federated_topk(spark, sf_dir):
                           _FED_QUERY, k=10)
 
 
+_FPCT_PROBS = (0.25, 0.5, 0.75, 0.9)
+
+
+def q_facet_percentiles(spark, sf_dir):
+    """Terms facet + percentiles sub-agg (operators/facets.py
+    facet_percentiles — ES terms+percentiles): per-source quantiles of
+    the hits' n_chars. Broadcast k-row hits + the profiling module's
+    exact percentile agg (DuckDB quantile_cont semantics; the GK sketch
+    twin is error-pinned in tests/test_profiling-adjacent suites)."""
+    from searchengine_spark.operators.facets import facet_percentiles
+
+    docs = _docs(spark, sf_dir)
+    return facet_percentiles(_facet_hits(spark, sf_dir),
+                             docs.select("doc_id", "source", "n_chars"),
+                             by="source", attr="n_chars",
+                             probs=_FPCT_PROBS)
+
+
+def _facet_percentiles_sql(query: str = _FACET_QUERY,
+                           k: int = _FACET_K) -> str:
+    probs = ", ".join(str(p) for p in _FPCT_PROBS)
+    vals = ", ".join(f"({i + 1}, {p})" for i, p in enumerate(_FPCT_PROBS))
+    return f"""WITH top AS (
+  SELECT doc_id FROM ({_bm25_topk_sql(query, k)})
+),
+j AS (SELECT d.source AS value, d.n_chars::DOUBLE AS a
+      FROM documents d JOIN top USING (doc_id)),
+agg AS (SELECT value, quantile_cont(a, [{probs}]) AS qs
+        FROM j GROUP BY 1)
+SELECT value, round(p.pct, 6) AS pct, round(qs[p.i], 5) AS v
+FROM agg CROSS JOIN (VALUES {vals}) p(i, pct)
+ORDER BY value ASC, pct ASC"""
+
+
 _FEDW_SPLIT_CHARS = 300
 
 
@@ -3478,6 +3512,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "function_score_topk": q_function_score_topk,
         "federated_topk": q_federated_topk,
         "federated_wand_topk": q_federated_wand_topk,
+        "facet_percentiles": q_facet_percentiles,
         "stemmed_topk": q_stemmed_topk,
         "substring_search": q_substring_search,
         "term_vectors": q_term_vectors,
@@ -3610,6 +3645,7 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "function_score_topk": _function_score_sql(),
         "federated_topk": _bm25_topk_sql(_FED_QUERY, 10),
         "federated_wand_topk": _bm25_topk_sql(_FED_QUERY, 10),
+        "facet_percentiles": _facet_percentiles_sql(),
         "stemmed_topk": _stemmed_topk_sql(),
         "substring_search": _substring_search_sql(),
         "term_vectors": _term_vectors_sql(),

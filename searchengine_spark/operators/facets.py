@@ -163,3 +163,42 @@ def facet_top_hits(
         .select(F.col(by).alias("value"), "rank", "doc_id", "score")
         .orderBy(F.asc("value"), F.asc("rank"))
     )
+
+
+def facet_percentiles(
+    hits: DataFrame,
+    doc_attrs: DataFrame,
+    by: str,
+    attr: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+    approx: bool = False,
+) -> DataFrame:
+    """Terms facet + percentiles sub-aggregation — the ES
+    ``terms`` + ``percentiles`` nested aggregation: per-bucket quantiles
+    of a numeric doc attribute over the hit set ("the length
+    distribution of matching turns, per source").
+
+    Composes the facet family's broadcast-the-k-row-hits join with the
+    profiling module's quantile aggregates: exact ``percentile``
+    (linear interpolation, == DuckDB quantile_cont — the validation
+    path; state is the k-row hit set at most, so exact is fine even at
+    scale HERE, unlike corpus-wide profiling) and the mergeable GK
+    sketch twin (``approx=True``) for consistency with the corpus
+    profiler. Output: (value, pct, v) — one row per bucket x prob.
+    """
+    from searchengine_spark.operators.profiling import (
+        score_quantiles,
+        score_quantiles_approx,
+    )
+
+    joined = (
+        doc_attrs.join(F.broadcast(hits.select("doc_id")), "doc_id")
+        .select(F.col(by).alias("_g"), F.col(attr).cast("double").alias("_a"))
+    )
+    fn = score_quantiles_approx if approx else score_quantiles
+    return (
+        fn(joined, "_a", group_col="_g", probs=probs)
+        .select(F.col("_g").alias("value"), "pct",
+                F.col("value").alias("v"))
+        .orderBy(F.asc("value"), F.asc("pct"))
+    )

@@ -318,3 +318,26 @@ def test_federated_wand_cross_slice_admissibility(built, q2):
     got = [(r.doc_id, round(r.score, 6)) for r in fed.collect()]
     want = [(r.doc_id, round(r.score, 6)) for r in mono.collect()]
     assert got == want and got
+
+
+def test_facet_percentiles_exact_vs_sketch(spark):
+    """Exact percentiles interpolate (quantile_cont semantics); the GK
+    sketch twin returns a member value within its rank tolerance —
+    both over the same broadcast-hits join."""
+    from searchengine_spark.operators.facets import facet_percentiles
+
+    hits = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    attrs = spark.createDataFrame(
+        [(i, "a" if i < 50 else "b", float(i % 50)) for i in range(100)],
+        "doc_id long, src string, v double")
+    exact = {(r.value, r.pct): r.v
+             for r in facet_percentiles(hits, attrs, "src", "v",
+                                        probs=(0.5,)).collect()}
+    # both buckets hold 0..49 -> exact median 24.5
+    assert exact[("a", 0.5)] == 24.5 and exact[("b", 0.5)] == 24.5
+    approx = {(r.value, r.pct): r.v
+              for r in facet_percentiles(hits, attrs, "src", "v",
+                                         probs=(0.5,),
+                                         approx=True).collect()}
+    for key, v in approx.items():
+        assert abs(v - exact[key]) <= 2.0  # GK rank tolerance on 50 values
