@@ -212,7 +212,9 @@ def _timed_qbatch(spark, df, n_turns: int, state: dict) -> dict:
         # instead of by scaling
         run_build(spark, df, out_dir, layouts=("doc",),
                   num_doc_partitions=doc_parts,
-                  n_shards=max(1, -(-n_turns // 8192)))
+                  n_shards=max(1, -(-n_turns // int(
+                      os.environ.get("SPARK_GRAFT_QSCALE_DOCS_PER_SHARD",
+                                     "4096")))))
         eng = SearchEngine.load(spark, out_dir)
         eng.doc_segments = eng.doc_segments.persist()
         eng.doc_segments.count()
