@@ -130,6 +130,8 @@ def federated_wand_topk(
     query: str,
     k: int = 10,
     exclude=None,
+    merged_stats: DataFrame | None = None,
+    merged_scalars: CorpusScalars | None = None,
 ) -> DataFrame:
     """Block-max WAND across independently-built SEGMENT layouts — the
     federation's serving path (federated_topk is the exhaustive
@@ -166,8 +168,10 @@ def federated_wand_topk(
     """
     from searchengine_spark.operators.wand import wand_topk
 
-    stats = merge_slice_stats(slice_stats)
-    g = merge_slice_scalars(slice_scalars)
+    stats = merged_stats if merged_stats is not None \
+        else merge_slice_stats(slice_stats)
+    g = merged_scalars if merged_scalars is not None \
+        else merge_slice_scalars(slice_scalars)
     n = len(slice_segments)
     parts = []
     for i, (key, segs) in enumerate(slice_segments):
@@ -187,3 +191,87 @@ def federated_wand_topk(
         unioned = unioned.unionByName(p)
     return wand_topk(unioned, query, stats, g.n_docs, g.avgdl, k=k,
                      exclude=exclude)
+
+
+class FederatedEngine:
+    """Load-once-serve-many over a FEDERATION of persisted indexes — the
+    engine-lifecycle face of this module (engine.py SearchEngine is the
+    single-index face). Each slice is an ordinary ``pipeline.run_build``
+    output; the deployment contract is that slices were built with
+    disjoint doc-id ranges (``run_build(doc_id_base=...)`` — e.g.
+    day_epoch << 40), which load() verifies from each slice's
+    scalars.json + n_docs. Statistics are merged at load (one
+    vocabulary-sized agg, cached like SearchEngine's term_stats);
+    queries run block-max WAND across every slice's segments with the
+    admissibility-corrected bounds (federated_wand_topk).
+
+    Serving shape at 10^12 turns: a new daily slice joins the
+    federation by appearing in ``index_dirs`` — no rebuild, no merge
+    job; retiring a slice is removing its dir. The sort-merge
+    compaction path (operators/merge.py) remains available when slice
+    count grows past the per-query scatter budget.
+    """
+
+    def __init__(self, spark, engines):
+        self.spark = spark
+        self.engines = engines
+        self.stats = merge_slice_stats(
+            [e.term_stats for e in engines]).cache()
+        self.scalars = merge_slice_scalars([e.scalars for e in engines])
+
+    @staticmethod
+    def load(spark, index_dirs: list[str],
+             cache_stats: bool = True) -> "FederatedEngine":
+        from searchengine_spark.engine import SearchEngine
+
+        engines = [SearchEngine.load(spark, d, cache_stats=False)
+                   for d in index_dirs]
+        # disjointness check: [base, base + n_docs) must not overlap —
+        # an overlapping pair means two slices can emit the same doc_id
+        # for different documents, which would silently merge scores
+        import json as _json
+        import os as _os
+
+        spans = []
+        for d, e in zip(index_dirs, engines):
+            with open(_os.path.join(d, "scalars.json")) as f:
+                base = int(_json.load(f).get("doc_id_base", 0))
+            spans.append((base, base + e.scalars.n_docs, d))
+        spans.sort()
+        for (a0, a1, da), (b0, b1, db) in zip(spans, spans[1:]):
+            if b0 < a1:
+                raise ValueError(
+                    f"doc-id ranges overlap: {da} [{a0},{a1}) vs "
+                    f"{db} [{b0},{b1}) — build slices with disjoint "
+                    "run_build(doc_id_base=...)")
+        return FederatedEngine(spark, engines)
+
+    def search(self, query: str, k: int = 10) -> DataFrame:
+        """Top-k (doc_id, score) across every slice — block-max WAND
+        with merged stats; per-slice tombstones composed into one
+        exclude set (ids are globally unique by the load contract)."""
+        dead = frozenset().union(*[e.tombstones() for e in self.engines])
+        return federated_wand_topk(
+            [(e.index_dir, e.doc_segments) for e in self.engines],
+            [e.term_stats for e in self.engines],
+            [e.scalars for e in self.engines],
+            query, k=k, exclude=dead or None,
+            merged_stats=self.stats, merged_scalars=self.scalars,
+        )
+
+    def fetch(self, doc_ids: list[int]) -> DataFrame:
+        """Doc-store lookup across slices (ids are globally unique, so
+        the union lookup returns one row per id)."""
+        out = None
+        for e in self.engines:
+            part = e.doc_map.filter(F.col("doc_id").isin(list(doc_ids)))
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    def index_stats(self) -> dict:
+        return {
+            "n_slices": len(self.engines),
+            "n_docs": self.scalars.n_docs,
+            "avgdl": self.scalars.avgdl,
+            "n_tombstones": sum(len(e.tombstones()) for e in self.engines),
+        }

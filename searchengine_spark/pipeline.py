@@ -163,11 +163,19 @@ def run_build(
     force: bool = False,
     storage: Storage | None = None,
     segment_groups: int = 1,
+    doc_id_base: int = 0,
 ) -> BuiltIndex:
     """Build (or resume) the full index under ``out_dir``. ``storage``
     overrides the table backend (e.g. an Iceberg catalog); the manifest and
     scalars stay under ``out_dir`` either way (an Iceberg manifest table on
-    clusters would replace the JSONL — same rows)."""
+    clusters would replace the JSONL — same rows).
+
+    ``doc_id_base``: first doc_id of this build (default 0). A federation
+    deployment gives every slice a disjoint id range (e.g. day_epoch <<
+    40) so independently-built indexes can be served together
+    (operators/federation.py FederatedEngine) without id collisions; the
+    base is recorded in scalars.json for the load-time disjointness
+    check."""
     os.makedirs(out_dir, exist_ok=True)
     if storage is None:
         storage = Storage(spark, root=out_dir)
@@ -183,7 +191,8 @@ def run_build(
 
         pcounts: dict = {}
         dm = tokenized_doc_map(transcripts, num_partitions=num_doc_partitions,
-                               partition_counts=pcounts)
+                               partition_counts=pcounts,
+                               start_id=doc_id_base)
         schemas["doc_map"] = dm.schema
         # sum_dl rides the WRITE job as an Observation; per-partition rows
         # come from the ingest count job (doc_map partitions are 1:1 with
@@ -203,6 +212,7 @@ def run_build(
             "n_docs": n_docs,
             "sum_dl": sum_dl,
             "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
+            "doc_id_base": int(doc_id_base),
         })
         return {
             "n_partitions": len(counts),

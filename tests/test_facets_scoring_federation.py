@@ -341,3 +341,58 @@ def test_facet_percentiles_exact_vs_sketch(spark):
                                          approx=True).collect()}
     for key, v in approx.items():
         assert abs(v - exact[key]) <= 2.0  # GK rank tolerance on 50 values
+
+
+def test_federated_engine_two_persisted_slices(spark, small, q2,
+                                               tmp_path_factory):
+    """FederatedEngine over two INDEPENDENT run_build outputs with
+    disjoint doc-id bases == one monolithic engine over the union
+    corpus. Slicing at the (conv_id, turn_idx) rank boundary makes the
+    base-offset federation ids equal the monolithic dense assignment,
+    so the comparison is bit-identical ids AND scores. Also pins the
+    load-time overlap rejection and cross-slice tombstone masking."""
+    from searchengine_spark.engine import SearchEngine
+    from searchengine_spark.operators.federation import FederatedEngine
+    from searchengine_spark.pipeline import run_build
+
+    convs = sorted(r.conv_id for r in
+                   small.select("conv_id").distinct().collect())
+    cut = convs[len(convs) // 2]
+    first = small.filter(F.col("conv_id") < cut)
+    rest = small.filter(F.col("conv_id") >= cut)
+    n_first = first.count()
+
+    root = tmp_path_factory.mktemp("fedidx")
+    d0, d1, dmono = str(root / "s0"), str(root / "s1"), str(root / "mono")
+    run_build(spark, first, d0, num_doc_partitions=2, layouts=("doc",),
+              n_shards=2)
+    run_build(spark, rest, d1, num_doc_partitions=2, layouts=("doc",),
+              n_shards=2, doc_id_base=n_first)
+    run_build(spark, small, dmono, num_doc_partitions=3, layouts=("doc",),
+              n_shards=3)
+
+    fed = FederatedEngine.load(spark, [d0, d1])
+    mono = SearchEngine.load(spark, dmono)
+    assert fed.index_stats()["n_docs"] == mono.scalars.n_docs
+    assert abs(fed.scalars.avgdl - mono.scalars.avgdl) < 1e-9
+
+    got = [(r.doc_id, round(r.score, 9))
+           for r in fed.search(q2, k=10).collect()]
+    want = [(r.doc_id, round(r.score, 9))
+            for r in mono.search(q2, k=10, mode="exhaustive").collect()]
+    assert got == want and got
+
+    # cross-slice tombstones: delete the top hit (whichever slice owns
+    # it) -> it vanishes from the federated results
+    top = got[0][0]
+    owner = fed.engines[0] if top < n_first else fed.engines[1]
+    owner.delete_docs([top])
+    try:
+        after = [r.doc_id for r in fed.search(q2, k=10).collect()]
+        assert top not in after
+    finally:
+        os.remove(owner._tombstone_path())
+
+    # overlapping id ranges must be rejected at load
+    with pytest.raises(ValueError, match="overlap"):
+        FederatedEngine.load(spark, [d0, dmono])
