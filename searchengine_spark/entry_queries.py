@@ -3419,6 +3419,54 @@ def q_federated_topk(spark, sf_dir):
                           _FED_QUERY, k=10)
 
 
+_LTR_K = 20
+
+
+def q_ltr_features(spark, sf_dir):
+    """LTR training-data assembly (operators/ltr.py): batch candidate
+    generation (top-20 BM25 per query) + the lexical feature vector per
+    (query, doc) — bm25, matched/query term counts, tf/idf sums, max
+    per-term partial, dl — all riding ONE hash agg over the scoring
+    join. The offline twin of the serving engine's ranking, for
+    training re-rankers on the same corpus statistics."""
+    from searchengine_spark.operators.ltr import ltr_features
+
+    _, _, tf_table, stats, scalars = _index_parts(spark, sf_dir)
+    queries = spark.createDataFrame(
+        list(enumerate(_BATCH_QUERIES)), "query_id int, query string"
+    )
+    return ltr_features(queries, tf_table, stats, scalars, k=_LTR_K)
+
+
+def _ltr_features_sql(k: int = _LTR_K) -> str:
+    return f"""WITH {BASE_CTES},
+{_query_cte(*_BATCH_QUERIES)},
+qlen AS (SELECT query_id, count(DISTINCT term)::BIGINT AS q_terms
+         FROM q GROUP BY 1),
+partial AS (
+  SELECT q.query_id, tf.doc_id, tf.term, {_BM25_W} AS w, tf.tf, dl.dl,
+         ln((c.n - s.df + 0.5) / (s.df + 0.5) + 1.0) AS idf
+  FROM tf JOIN q USING (term) JOIN stats s USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN consts c
+),
+feats AS (
+  SELECT query_id, doc_id, round(sum(w), 6) AS bm25,
+         count(DISTINCT term)::BIGINT AS matched_terms,
+         sum(tf)::BIGINT AS tf_sum, round(sum(idf), 6) AS idf_sum,
+         round(max(w), 6) AS max_partial, max(dl)::BIGINT AS dl
+  FROM partial GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, (row_number() OVER (PARTITION BY query_id
+             ORDER BY bm25 DESC, doc_id ASC))::BIGINT AS rank
+  FROM feats
+)
+SELECT r.query_id, r.rank, r.doc_id, r.bm25, r.matched_terms, ql.q_terms,
+       r.tf_sum, r.idf_sum, r.max_partial, r.dl
+FROM ranked r JOIN qlen ql USING (query_id)
+WHERE r.rank <= {k}"""
+
+
 _FPCT_PROBS = (0.25, 0.5, 0.75, 0.9)
 
 
@@ -3513,6 +3561,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "federated_topk": q_federated_topk,
         "federated_wand_topk": q_federated_wand_topk,
         "facet_percentiles": q_facet_percentiles,
+        "ltr_features": q_ltr_features,
         "stemmed_topk": q_stemmed_topk,
         "substring_search": q_substring_search,
         "term_vectors": q_term_vectors,
@@ -3646,6 +3695,7 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "federated_topk": _bm25_topk_sql(_FED_QUERY, 10),
         "federated_wand_topk": _bm25_topk_sql(_FED_QUERY, 10),
         "facet_percentiles": _facet_percentiles_sql(),
+        "ltr_features": _ltr_features_sql(),
         "stemmed_topk": _stemmed_topk_sql(),
         "substring_search": _substring_search_sql(),
         "term_vectors": _term_vectors_sql(),

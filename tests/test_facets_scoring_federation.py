@@ -396,3 +396,27 @@ def test_federated_engine_two_persisted_slices(spark, small, q2,
     # overlapping id ranges must be rejected at load
     with pytest.raises(ValueError, match="overlap"):
         FederatedEngine.load(spark, [d0, dmono])
+
+
+def test_ltr_features_consistency(spark, built, q2):
+    """Feature invariants: candidate ranking == batch BM25 ranking;
+    matched_terms <= q_terms; max_partial <= bm25 (partials are
+    non-negative); dl matches the forward index."""
+    from searchengine_spark.operators.ltr import ltr_features
+    from searchengine_spark.operators.topk import score_topk
+
+    doc_map, forward, tf_table, stats, scalars = built
+    queries = spark.createDataFrame([(0, q2)], "query_id int, query string")
+    rows = ltr_features(queries, tf_table, stats, scalars, k=15).collect()
+    assert rows and len(rows) <= 15
+    want = [(r.doc_id, round(r.score, 6)) for r in
+            score_topk(tf_table, stats, scalars, q2, k=15)
+            .select("doc_id", F.round("score", 6).alias("score")).collect()]
+    got = [(r.doc_id, r.bm25) for r in sorted(rows, key=lambda r: r.rank)]
+    assert got == want
+    dls = {r.doc_id: r.dl for r in forward.select("doc_id", "dl").collect()}
+    for r in rows:
+        assert 1 <= r.matched_terms <= r.q_terms
+        assert r.max_partial <= r.bm25 + 1e-9
+        assert r.tf_sum >= r.matched_terms
+        assert r.dl == dls[r.doc_id]
