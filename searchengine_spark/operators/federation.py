@@ -249,15 +249,44 @@ class FederatedEngine:
     def search(self, query: str, k: int = 10) -> DataFrame:
         """Top-k (doc_id, score) across every slice — block-max WAND
         with merged stats; per-slice tombstones composed into one
-        exclude set (ids are globally unique by the load contract)."""
+        exclude set (ids are globally unique by the load contract).
+
+        Mixed layouts are routed per slice: doc-sharded slices run as
+        ONE federated union (bound-inflated, federated_wand_topk);
+        slices with only the term-partitioned layout (a compacted
+        STREAMING index exported by streaming/incremental.py — "today's
+        slice") each run wand_topk_terms with the SAME merged stats —
+        its block maxes are recomputed at query time with the global
+        avgdl (wand.py _Postings.from_arrays), so no inflation is
+        needed there. The k-row candidate sets merge under the pinned
+        (score desc, doc_id asc) order — exact global BM25 either way,
+        so the routing is invisible in the results."""
+        from searchengine_spark.operators.wand import wand_topk_terms
+
         dead = frozenset().union(*[e.tombstones() for e in self.engines])
-        return federated_wand_topk(
-            [(e.index_dir, e.doc_segments) for e in self.engines],
-            [e.term_stats for e in self.engines],
-            [e.scalars for e in self.engines],
-            query, k=k, exclude=dead or None,
-            merged_stats=self.stats, merged_scalars=self.scalars,
-        )
+        doc_es = [e for e in self.engines if e.doc_segments is not None]
+        term_es = [e for e in self.engines if e.doc_segments is None]
+        outs = []
+        if doc_es:
+            outs.append(federated_wand_topk(
+                [(e.index_dir, e.doc_segments) for e in doc_es],
+                [e.term_stats for e in doc_es],
+                [e.scalars for e in doc_es],
+                query, k=k, exclude=dead or None,
+                merged_stats=self.stats, merged_scalars=self.scalars,
+            ))
+        for e in term_es:
+            if e.term_segments is None:
+                raise ValueError(f"{e.index_dir}: no segment layout")
+            outs.append(wand_topk_terms(
+                e.term_segments, query, self.stats, self.scalars.n_docs,
+                self.scalars.avgdl, k=k, exclude=dead or None,
+            ))
+        merged = outs[0]
+        for o in outs[1:]:
+            merged = merged.unionByName(o)
+        return (merged.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+                if len(outs) > 1 else merged)
 
     def fetch(self, doc_ids: list[int]) -> DataFrame:
         """Doc-store lookup across slices (ids are globally unique, so
@@ -265,7 +294,10 @@ class FederatedEngine:
         out = None
         for e in self.engines:
             part = e.doc_map.filter(F.col("doc_id").isin(list(doc_ids)))
-            out = part if out is None else out.unionByName(part)
+            # allowMissingColumns: a streaming slice's reconstructed doc
+            # map carries (doc_id, dl) only — absent metadata reads NULL
+            out = part if out is None else out.unionByName(
+                part, allowMissingColumns=True)
         return out
 
     def index_stats(self) -> dict:

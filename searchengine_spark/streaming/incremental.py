@@ -54,7 +54,8 @@ def _state_path(index_dir: str) -> str:
 def read_state(index_dir: str) -> dict:
     p = _state_path(index_dir)
     if not os.path.exists(p):
-        return {"n_docs": 0, "sum_dl": 0, "generations": []}
+        return {"n_docs": 0, "sum_dl": 0, "generations": [],
+                "doc_id_base": 0}
     with open(p) as f:
         return json.load(f)
 
@@ -90,7 +91,9 @@ def process_batch(
         return
 
     os.makedirs(os.path.join(index_dir, gen_name), exist_ok=True)
-    dm = tokenized_doc_map(batch_df, start_id=state["n_docs"])
+    dm = tokenized_doc_map(
+        batch_df,
+        start_id=int(state.get("doc_id_base", 0)) + state["n_docs"])
     dm_path = os.path.join(index_dir, gen_name, "doc_map.parquet")
     dm.write.mode("overwrite").parquet(dm_path)
     dm = spark.read.parquet(dm_path)
@@ -127,11 +130,22 @@ def start_incremental(
     checkpoint_dir: str,
     available_now: bool = True,
     df_target: int = 100_000,
+    doc_id_base: int = 0,
 ):
     """Start the incremental indexer over a directory of transcript parquet
     files. available_now=True drains existing files and stops (batch-style
-    test mode); False runs continuously."""
+    test mode); False runs continuously.
+
+    ``doc_id_base``: first doc_id of this index's id range (federation
+    contract — see pipeline.run_build doc_id_base): every generation's
+    ids are base + running count, so a STREAMING slice can join a
+    FederatedEngine next to batch-built slices without collisions. Only
+    honored on a fresh index (the base is pinned in state.json)."""
     os.makedirs(index_dir, exist_ok=True)
+    if not os.path.exists(_state_path(index_dir)):
+        _write_state(index_dir, {"n_docs": 0, "sum_dl": 0,
+                                 "generations": [],
+                                 "doc_id_base": int(doc_id_base)})
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -291,5 +305,6 @@ def export_for_serving(spark: SparkSession, index_dir: str,
     with open(os.path.join(out_dir, "scalars.json"), "w") as f:
         _json.dump({"n_docs": state["n_docs"], "sum_dl": state["sum_dl"],
                     "avgdl": (state["sum_dl"] / state["n_docs"]
-                              if state["n_docs"] else 1.0)}, f)
+                              if state["n_docs"] else 1.0),
+                    "doc_id_base": int(state.get("doc_id_base", 0))}, f)
     return out_dir

@@ -420,3 +420,69 @@ def test_ltr_features_consistency(spark, built, q2):
         assert r.max_partial <= r.bm25 + 1e-9
         assert r.tf_sum >= r.matched_terms
         assert r.dl == dls[r.doc_id]
+
+
+def test_federated_engine_streaming_slice_joins(spark, small, q2,
+                                                tmp_path_factory):
+    """Full federation lifecycle: a BATCH-built doc-layout slice and a
+    STREAMING-built term-layout slice (incremental ingest with a
+    doc_id_base -> compact -> export_for_serving) served together by
+    one FederatedEngine, results == exhaustive global BM25 over the
+    union corpus. The term slice's block maxes are recomputed at query
+    time with the global avgdl (no inflation path), the doc slice's
+    are inflated — the routing must be invisible in the scores."""
+    from searchengine_spark.engine import SearchEngine
+    from searchengine_spark.operators.federation import FederatedEngine
+    from searchengine_spark.operators.forward import (
+        CorpusScalars as CS,
+    )
+    from searchengine_spark.operators.topk import score_all
+    from searchengine_spark.pipeline import run_build
+    from searchengine_spark.streaming.incremental import (
+        compact,
+        export_for_serving,
+        start_incremental,
+    )
+
+    convs = sorted(r.conv_id for r in
+                   small.select("conv_id").distinct().collect())
+    cut = convs[len(convs) // 2]
+    first = small.filter(F.col("conv_id") < cut)
+    rest = small.filter(F.col("conv_id") >= cut)
+    n_first = first.count()
+
+    root = tmp_path_factory.mktemp("fedstream")
+    d0 = str(root / "batch_slice")
+    run_build(spark, first, d0, num_doc_partitions=2, layouts=("doc",),
+              n_shards=2)
+    # streaming slice: ids continue AFTER the batch slice's range
+    inp = root / "in"
+    inp.mkdir()
+    rest.coalesce(1).write.parquet(str(inp / "b0.parquet"))
+    inc = str(root / "inc_idx")
+    q = start_incremental(spark, f"{inp}/*/", inc, str(root / "ckpt"),
+                          available_now=True, df_target=64,
+                          doc_id_base=n_first)
+    q.awaitTermination(300)
+    compact(spark, inc, df_target=64)
+    d1 = str(root / "stream_slice")
+    export_for_serving(spark, inc, d1)
+    assert SearchEngine.load(spark, d1).doc_segments is None  # term-only
+
+    fed = FederatedEngine.load(spark, [d0, d1])
+    got = [(r.doc_id, round(r.score, 9))
+           for r in fed.search(q2, k=10).collect()]
+
+    # oracle: exhaustive BM25 over the union corpus with the SAME ids
+    # (dense rank == base-offset by the conv-boundary slicing)
+    doc_map = assign_doc_ids(small, num_partitions=3)
+    fwd = build_forward(doc_map)
+    tf = explode_forward(fwd)
+    stats = build_term_stats(tf)
+    sc = CS.compute(fwd)
+    want = [
+        (r.doc_id, round(r.score, 9))
+        for r in score_all(tf, stats, sc, q2)
+        .orderBy(F.desc("score"), F.asc("doc_id")).limit(10).collect()
+    ]
+    assert got == want and got
