@@ -172,6 +172,19 @@ def federated_wand_topk(
         else merge_slice_stats(slice_stats)
     g = merged_scalars if merged_scalars is not None \
         else merge_slice_scalars(slice_scalars)
+    unioned = _federated_segments(slice_segments, slice_scalars, g)
+    return wand_topk(unioned, query, stats, g.n_docs, g.avgdl, k=k,
+                     exclude=exclude)
+
+
+def _federated_segments(
+    slice_segments: list[tuple[str, DataFrame]],
+    slice_scalars: list[CorpusScalars],
+    g: CorpusScalars,
+) -> DataFrame:
+    """Union per-slice doc-segment layouts into one WAND-servable table:
+    slice-unique shard keys + the max(1, avgdl_g/avgdl_s) block-max
+    inflation (admissibility proof in federated_wand_topk)."""
     n = len(slice_segments)
     parts = []
     for i, (key, segs) in enumerate(slice_segments):
@@ -189,8 +202,7 @@ def federated_wand_topk(
     unioned = parts[0]
     for p in parts[1:]:
         unioned = unioned.unionByName(p)
-    return wand_topk(unioned, query, stats, g.n_docs, g.avgdl, k=k,
-                     exclude=exclude)
+    return unioned
 
 
 class FederatedEngine:
@@ -287,6 +299,28 @@ class FederatedEngine:
             merged = merged.unionByName(o)
         return (merged.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
                 if len(outs) > 1 else merged)
+
+    def search_batch(self, queries: list, k: int = 10) -> DataFrame:
+        """(query_id, rank, doc_id, score) for many queries in one pass
+        across every doc-layout slice (wand.py wand_topk_batch over the
+        inflated union — postings decoded once per slice-shard for ALL
+        queries). Term-layout slices are a per-query path; route them
+        through search() or compact them into a doc layout first."""
+        from searchengine_spark.operators.wand import wand_topk_batch
+
+        term_only = [e.index_dir for e in self.engines
+                     if e.doc_segments is None]
+        if term_only:
+            raise ValueError(
+                f"search_batch needs doc-layout slices; term-only: "
+                f"{term_only}")
+        dead = frozenset().union(*[e.tombstones() for e in self.engines])
+        unioned = _federated_segments(
+            [(e.index_dir, e.doc_segments) for e in self.engines],
+            [e.scalars for e in self.engines], self.scalars)
+        return wand_topk_batch(unioned, queries, self.stats,
+                               self.scalars.n_docs, self.scalars.avgdl,
+                               k=k, exclude=dead or None)
 
     def fetch(self, doc_ids: list[int]) -> DataFrame:
         """Doc-store lookup across slices (ids are globally unique, so

@@ -486,3 +486,34 @@ def test_federated_engine_streaming_slice_joins(spark, small, q2,
         .orderBy(F.desc("score"), F.asc("doc_id")).limit(10).collect()
     ]
     assert got == want and got
+
+
+def test_federated_search_batch(spark, built, q2, tmp_path_factory):
+    """Batch WAND across two persisted slices == per-query federated
+    search for every query in the batch."""
+    from searchengine_spark.operators.federation import FederatedEngine
+    from searchengine_spark.pipeline import run_build
+
+    doc_map, *_ = built
+    # reuse the conv-boundary split fixture shape inline
+    convs = sorted(r.conv_id for r in
+                   doc_map.select("conv_id").distinct().collect())
+    cut = convs[len(convs) // 2]
+    root = tmp_path_factory.mktemp("fedbatch")
+    d0, d1 = str(root / "a"), str(root / "b")
+    small0 = doc_map.filter(F.col("conv_id") < cut).drop("doc_id")
+    small1 = doc_map.filter(F.col("conv_id") >= cut).drop("doc_id")
+    run_build(spark, small0, d0, num_doc_partitions=2, layouts=("doc",),
+              n_shards=2)
+    run_build(spark, small1, d1, num_doc_partitions=2, layouts=("doc",),
+              n_shards=2, doc_id_base=small0.count())
+    fed = FederatedEngine.load(spark, [d0, d1])
+
+    qs = [(0, q2), (1, q2.split()[0])]
+    batch = {(r.query_id, r.rank): (r.doc_id, round(r.score, 9))
+             for r in fed.search_batch(qs, k=5).collect()}
+    for qid, q in qs:
+        single = [(r.doc_id, round(r.score, 9))
+                  for r in fed.search(q, k=5).collect()]
+        got = [batch[(qid, rk)] for rk in range(1, len(single) + 1)]
+        assert got == single and single
