@@ -1673,6 +1673,12 @@ def _scaling_bench(spark, t_total0: float) -> dict:
                 hi_q = servers[n_hi].qbench()
                 st1 = _host_steal_s()
                 q_hashes.update([lo_q["result_hash"], hi_q["result_hash"]])
+                d_extra = {
+                    f"hash_{n_lo}": lo_q["result_hash"],
+                    f"hash_{n_hi}": hi_q["result_hash"],
+                    f"rows_{n_lo}": lo_q["result_rows"],
+                    f"rows_{n_hi}": hi_q["result_rows"],
+                }
                 q_walls[n_lo].append(lo_q["query_wall_sec"])
                 q_walls[n_hi].append(hi_q["query_wall_sec"])
                 eff = lo_q["query_wall_sec"] / (
@@ -1684,6 +1690,7 @@ def _scaling_bench(spark, t_total0: float) -> dict:
                     "eff": round(eff, 3),
                     f"steal_{n_lo}": round(st_mid - st0, 2),
                     f"steal_{n_hi}": round(st1 - st_mid, 2),
+                    **d_extra,
                 }
                 # same first-order steal correction as the build record
                 lo_c = lo_q["query_wall_sec"] - (st_mid - st0) / n_lo

@@ -160,7 +160,24 @@ def _wand_shard(
     Heap entries are (score, -doc_id) so heap[0] is the weakest under the
     pinned tie-break (score desc, doc_id asc): equal scores keep the
     smaller doc_id, because (s, -d_small) > (s, -d_big).
+
+    Postings are CANONICALIZED by (term, first doc) before cursors are
+    built. The input list order is the grouped-map row order — shuffle
+    ARRIVAL order, which multi-executor clusters randomize per call
+    (single-JVM local mode happens to fetch deterministically, which
+    hid this). Cursor order decides (a) float summation order at a
+    scored pivot — mathematically-tied scores (duplicate turns) pick up
+    last-bit jitter that flips their raw-score rank under the
+    (score desc, doc_id asc) window, and (b) which true-tie survives
+    the per-shard k-cap. Measured on a 2-vs-8-executor standalone
+    cluster: the same 160-query batch hashed differently on EVERY call
+    until this sort. (term, first-doc) is a total order here: salted or
+    range-split rows of one term are doc-disjoint slices.
     """
+    postings = sorted(
+        postings,
+        key=lambda p: (p.term, int(p.docs[0]) if p.n else -1),
+    )
     cursors = [
         _Cursor(p, qf_map[p.term], idf_map[p.term])
         for p in postings
