@@ -416,3 +416,35 @@ def test_federated_wand_single_grouped_stage(spark, docs):
     n_grouped = tree.count("FlatMapGroupsInPandas") \
         + tree.count("FlatMapGroupsInArrow")
     assert n_grouped == 1, tree
+
+
+def test_ltr_and_percentile_plans(spark, docs):
+    """ltr_features: query-broadcast join, candidate cap compiles to
+    WindowGroupLimit (bounded per-query heap), no cartesian.
+    facet_percentiles: hit-set broadcast, one aggregate."""
+    from searchengine_spark.operators.facets import facet_percentiles
+    from searchengine_spark.operators.forward import (
+        CorpusScalars,
+        build_forward,
+        build_term_stats,
+        explode_forward,
+    )
+    from searchengine_spark.operators.ltr import ltr_features
+
+    fwd = build_forward(docs)
+    tf = explode_forward(fwd)
+    stats = build_term_stats(tf)
+    scal = CorpusScalars.compute(fwd)
+    qs = spark.createDataFrame([(0, "alpha beta")],
+                               "query_id int, query string")
+    tree = _tree(_plan(ltr_features(qs, tf, stats, scal, k=5)))
+    assert "BroadcastHashJoin" in tree, tree
+    assert "WindowGroupLimit" in tree, tree
+    assert "CartesianProduct" not in tree, tree
+
+    hits = docs.select("doc_id").limit(10)
+    attrs = docs.select("doc_id", F.col("text").alias("src"),
+                        F.length("text").alias("v"))
+    ptree = _tree(_plan(facet_percentiles(hits, attrs, "src", "v")))
+    assert "BroadcastHashJoin" in ptree, ptree
+    assert "CartesianProduct" not in ptree, ptree
