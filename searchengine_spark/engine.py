@@ -342,6 +342,21 @@ class SearchEngine:
                                  by=by, attr=attr, probs=probs,
                                  approx=approx)
 
+    def search_rescored(self, query: str, k: int = 10, window: int = 50,
+                        rescore_weight: float = 1.0) -> DataFrame:
+        """Two-pass rescoring (operators/topk.py rescore_topk — ES
+        rescore API): BM25 window re-ranked with the Dirichlet
+        likelihood; the second pass touches only window rows.
+        Tombstones masked."""
+        from searchengine_spark.operators.deletes import exclude_tf
+        from searchengine_spark.operators.topk import rescore_topk
+
+        tf = exclude_tf(tf_from_doc_map(self.doc_map),
+                        set(self.tombstones()))
+        return rescore_topk(tf, self.term_stats, self.scalars, query,
+                            k=k, window=window,
+                            rescore_weight=rescore_weight)
+
     def search_boosted(self, query: str, attr: str, factor: float = 1.0,
                        modifier: str = "log1p", k: int = 10) -> DataFrame:
         """Field-value-factor retrieval (operators/topk.py

@@ -3419,6 +3419,51 @@ def q_federated_topk(spark, sf_dir):
                           _FED_QUERY, k=10)
 
 
+_RESCORE_QUERY = "spark join fast"
+_RESCORE_WINDOW = 50
+
+
+def q_rescore_topk(spark, sf_dir):
+    """Two-pass rescoring (operators/topk.py rescore_topk — ES rescore
+    API): BM25 window of 50 candidates re-scored with the Dirichlet
+    query likelihood, final = bm25 + 0.5 * lm. The second pass is a
+    window-row broadcast join — corpus-size-independent."""
+    from searchengine_spark.operators.topk import rescore_topk
+
+    _, _, tf_table, stats, scalars = _index_parts(spark, sf_dir)
+    return rescore_topk(tf_table, stats, scalars, _RESCORE_QUERY, k=10,
+                        window=_RESCORE_WINDOW, rescore_weight=0.5)
+
+
+def _rescore_topk_sql(query: str = _RESCORE_QUERY, k: int = 10,
+                      window: int = _RESCORE_WINDOW,
+                      rw: float = 0.5, mu: float = 2000.0) -> str:
+    return f"""WITH {BASE_CTES},
+{_query_cte(query)},
+bpartial AS (
+  SELECT tf.doc_id, {_BM25_W} AS w
+  FROM tf JOIN q USING (term) JOIN stats s USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN consts c
+),
+win AS (
+  SELECT doc_id, round(sum(w), 6) AS bm25 FROM bpartial GROUP BY 1
+  ORDER BY bm25 DESC, doc_id ASC LIMIT {window}
+),
+tot AS (SELECT sum(dl)::DOUBLE AS c FROM dl),
+qlen AS (SELECT sum(qf)::DOUBLE AS n FROM q JOIN stats USING (term)),
+lpartial AS (
+  SELECT tf.doc_id, q.qf * ln(1.0 + tf.tf / ({mu} * (s.cf::DOUBLE / t.c))) AS w
+  FROM tf JOIN q USING (term) JOIN stats s USING (term) CROSS JOIN tot t
+  WHERE tf.doc_id IN (SELECT doc_id FROM win)
+),
+lagg AS (SELECT doc_id, sum(w) AS s FROM lpartial GROUP BY 1),
+lm AS (SELECT a.doc_id, round(a.s + ql.n * ln({mu} / (dl.dl + {mu})), 6) AS lm
+       FROM lagg a JOIN dl ON dl.doc_id = a.doc_id CROSS JOIN qlen ql)
+SELECT w.doc_id, round(w.bm25 + {rw} * coalesce(lm.lm, 0.0), 6) AS score
+FROM win w LEFT JOIN lm USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
 _LTR_K = 20
 
 
@@ -3562,6 +3607,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "federated_wand_topk": q_federated_wand_topk,
         "facet_percentiles": q_facet_percentiles,
         "ltr_features": q_ltr_features,
+        "rescore_topk": q_rescore_topk,
         "stemmed_topk": q_stemmed_topk,
         "substring_search": q_substring_search,
         "term_vectors": q_term_vectors,
@@ -3696,6 +3742,7 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "federated_wand_topk": _bm25_topk_sql(_FED_QUERY, 10),
         "facet_percentiles": _facet_percentiles_sql(),
         "ltr_features": _ltr_features_sql(),
+        "rescore_topk": _rescore_topk_sql(),
         "stemmed_topk": _stemmed_topk_sql(),
         "substring_search": _substring_search_sql(),
         "term_vectors": _term_vectors_sql(),

@@ -475,3 +475,63 @@ def function_score_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def rescore_topk(
+    tf_table: DataFrame,
+    term_stats: DataFrame,
+    scalars: CorpusScalars,
+    query: str,
+    k: int = 10,
+    window: int = 50,
+    query_weight: float = 1.0,
+    rescore_weight: float = 1.0,
+    rescorer: str = "lm",
+    mu: float = LM_MU,
+) -> DataFrame:
+    """Two-pass retrieval — the ES ``rescore`` API analog: rank the
+    corpus with the cheap primary scorer (BM25), then re-rank only the
+    top-``window`` candidates with an expensive secondary scorer and
+    combine:
+
+        final = query_weight * bm25 + rescore_weight * secondary
+
+    ``rescorer="lm"`` uses the Dirichlet query likelihood (the classic
+    probabilistic second opinion). The scale contract is the point: the
+    secondary scorer runs over a WINDOW-row candidate set (broadcast
+    semi-join onto the postings), never the corpus — at 10^12 turns the
+    second pass costs a k-row join regardless of corpus size, which is
+    why ES exposes rescore as a separate phase instead of a composed
+    query. Ranks pinned (rounded final desc, doc_id asc); candidates
+    outside the window keep their BM25 order below the rescored block
+    (ES semantics: rescore reorders only the window) — k <= window is
+    enforced so the unrescored tail never leaks into the result.
+    -> top-k (doc_id, score), rounded 6dp."""
+    if k > window:
+        raise ValueError("k must be <= window (rescore reorders only "
+                         "the window)")
+    primary = (
+        score_all(tf_table, term_stats, scalars, query, "bm25")
+        .select("doc_id", F.round("score", 6).alias("_bm25"))
+        .orderBy(F.desc("_bm25"), F.asc("doc_id"))
+        .limit(window)
+    )
+    cand_tf = tf_table.join(F.broadcast(primary.select("doc_id")), "doc_id")
+    secondary = lm_dirichlet_topk(
+        cand_tf, term_stats, scalars, query, k=window, mu=mu
+    ).select("doc_id", F.col("score").alias("_lm"))
+    combined = (
+        primary.join(F.broadcast(secondary), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.lit(float(query_weight)) * F.col("_bm25")
+                + F.lit(float(rescore_weight)) * F.coalesce(F.col("_lm"),
+                                                            F.lit(0.0)),
+                6,
+            ).alias("score"),
+        )
+    )
+    return (
+        combined.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    )

@@ -517,3 +517,33 @@ def test_federated_search_batch(spark, built, q2, tmp_path_factory):
                   for r in fed.search(q, k=5).collect()]
         got = [batch[(qid, rk)] for rk in range(1, len(single) + 1)]
         assert got == single and single
+
+
+def test_rescore_window_semantics(built, q2):
+    """rescore_weight=0 degenerates to plain BM25 top-k; k > window is
+    rejected; the combined score equals bm25 + w*lm for every result."""
+    from searchengine_spark.operators.topk import (
+        lm_dirichlet_topk, rescore_topk, score_topk,
+    )
+
+    _, _, tf, stats, scalars = built
+    base = [(r.doc_id, round(r.score, 6)) for r in
+            score_topk(tf, stats, scalars, q2, k=8)
+            .select("doc_id", F.round("score", 6).alias("score")).collect()]
+    zero = [(r.doc_id, r.score) for r in
+            rescore_topk(tf, stats, scalars, q2, k=8, window=30,
+                         rescore_weight=0.0).collect()]
+    assert zero == base
+    got = {r.doc_id: r.score for r in
+           rescore_topk(tf, stats, scalars, q2, k=8, window=30,
+                        rescore_weight=0.5).collect()}
+    bm25 = {r.doc_id: round(r.score, 6) for r in
+            score_topk(tf, stats, scalars, q2, k=30)
+            .select("doc_id", F.round("score", 6).alias("score")).collect()}
+    lm = {r.doc_id: r.score for r in
+          lm_dirichlet_topk(tf, stats, scalars, q2, k=100000).collect()}
+    for d, s in got.items():
+        assert s == pytest.approx(
+            round(bm25[d] + 0.5 * lm[d], 6), abs=2e-6)
+    with pytest.raises(ValueError):
+        rescore_topk(tf, stats, scalars, q2, k=50, window=10)
