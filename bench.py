@@ -89,7 +89,7 @@ SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "80000"))
 # windows. Target 6: per-wall jitter is ~10% even on a kernel-quiet
 # host, so a 4-round median still swings ~±0.07; 6 rounds fit the
 # budget comfortably when quiet (a fully-quiet run takes ~335 s at 4)
-SCALE_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "12"))
+SCALE_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "9"))
 SCALE_HEALTHY_TARGET = int(os.environ.get("SPARK_GRAFT_SCALE_HEALTHY", "6"))
 # stop scheduling rounds once this many seconds have elapsed (the
 # driver's bench timeout is unknown; 562-637 s totals are known-tolerated
@@ -97,7 +97,12 @@ SCALE_HEALTHY_TARGET = int(os.environ.get("SPARK_GRAFT_SCALE_HEALTHY", "6"))
 # 1-2 extra chances of catching a steal-quiet window in storm weather;
 # four rounds always complete so each parity pair holds >=2 samples per
 # level even on a degraded host)
-SCALE_BUDGET_S = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "430"))
+# 340 (was 430): the query-scaling phase and the round-3 operator
+# timings added ~220 s to the default run; trimming the noisy-host
+# build-round budget keeps the whole record inside the ~10-11 min
+# envelope the earlier official runs proved safe (quiet hosts stop at
+# the healthy-round target long before the budget anyway)
+SCALE_BUDGET_S = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "340"))
 # warm-up rows sliced from the shared corpus, built untimed before the
 # timed builds: warms JIT, Python workers, and codegen caches so the timed
 # window measures steady-state throughput (cluster executors are long-lived)
