@@ -383,10 +383,19 @@ class SearchEngine:
         driver-sized-set contract as ``delete_docs`` (the broadcast-
         bitmap path in operators/wand.py handles serving-time masking
         at scale; physical removal is ``purge_deleted``). Returns the
-        new full tombstone set."""
-        hits = self.search(query, k=max_docs, mode=mode).select("doc_id")
-        ids = [r["doc_id"] for r in hits.collect()]
-        return self.delete_docs(ids)
+        new full tombstone set. Drains in ``max_docs``-sized passes until
+        no matches remain (the already-deleted ids are tombstone-masked
+        out of the next pass), so a partial delete is never silent —
+        matching the ES analog, which deletes ALL matches."""
+        out = self.tombstones()
+        while True:
+            hits = self.search(query, k=max_docs, mode=mode).select("doc_id")
+            ids = [r["doc_id"] for r in hits.collect()]
+            if not ids:
+                return out
+            out = self.delete_docs(ids)
+            if len(ids) < max_docs:
+                return out
 
     def index_stats(self) -> dict:
         """Serving-surface snapshot of the loaded index: corpus scalars

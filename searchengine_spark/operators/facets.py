@@ -49,15 +49,22 @@ def facet_ranges(
             .cast("long").alias(f"_r{i}")
         )
     one = joined.agg(*aggs)
-    cells = ", ".join(
-        f"'{key}', CAST({'NULL' if lo is None else float(lo)} AS DOUBLE),"
-        f" CAST({'NULL' if hi is None else float(hi)} AS DOUBLE), _r{i}"
+    # Unpivot via inline(array(struct(...))) with TYPED literals — caller
+    # range keys never enter a SQL string, so a key containing quotes or
+    # backslashes is just data, not expression syntax.
+    def _dlit(v):
+        return F.lit(None).cast("double") if v is None else F.lit(float(v))
+
+    rows = F.array(*[
+        F.struct(
+            F.lit(str(key)).alias("key"),
+            _dlit(lo).alias("range_from"),
+            _dlit(hi).alias("range_to"),
+            F.col(f"_r{i}").alias("n"),
+        )
         for i, (key, lo, hi) in enumerate(ranges)
-    )
-    return one.selectExpr(
-        f"stack({len(ranges)}, {cells})"
-        " as (key, range_from, range_to, n)"
-    )
+    ])
+    return one.select(F.inline(rows))
 
 
 def facet_histogram(
@@ -129,7 +136,7 @@ def facet_stats(
             F.round(F.avg(a), 6).alias("avg_v"),
             F.round(F.sum(a), 6).alias("sum_v"),
         )
-        .orderBy(F.desc("n"), F.asc("value"))
+        .orderBy(F.desc("n"), F.asc_nulls_last("value"))
     )
 
 
@@ -161,7 +168,7 @@ def facet_top_hits(
         joined.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= per_bucket)
         .select(F.col(by).alias("value"), "rank", "doc_id", "score")
-        .orderBy(F.asc("value"), F.asc("rank"))
+        .orderBy(F.asc_nulls_last("value"), F.asc("rank"))
     )
 
 
@@ -200,5 +207,5 @@ def facet_percentiles(
         fn(joined, "_a", group_col="_g", probs=probs)
         .select(F.col("_g").alias("value"), "pct",
                 F.col("value").alias("v"))
-        .orderBy(F.asc("value"), F.asc("pct"))
+        .orderBy(F.asc_nulls_last("value"), F.asc("pct"))
     )

@@ -70,27 +70,44 @@ def compile_queries(
     return terms.join(req, "query_id")
 
 
+#: Above this many compiled rows the broadcast hint is dropped and the
+#: term join runs as a shuffle hash join. ~10M (query_id, term) rows is
+#: a few hundred MB serialized — past any sane driver/executor broadcast
+#: budget. An alerting platform with 10^8 stored queries lands here.
+BROADCAST_RULE_LIMIT = 10_000_000
+
+
 def percolate(
     docs: DataFrame,
     compiled: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_rules: int | None = None,
 ) -> DataFrame:
     """Match ``docs`` against a ``compile_queries`` table ->
     (doc_id, query_id, n_matched, n_required), one row per triggered
     (document, stored query) pair, ordered (doc_id, query_id).
 
-    The compiled table is broadcast (subscriber-sized); the only shuffle
-    is the (doc_id, query_id) count agg. Works unchanged on a streaming
+    The compiled table is broadcast when subscriber-sized; above
+    ``BROADCAST_RULE_LIMIT`` rows it joins as a plain shuffle hash join
+    on ``term`` instead (identical pairs, one extra exchange of the
+    exploded doc terms — the right trade once the rule set itself is
+    too big to ship to every executor). Pass ``n_rules`` (compiled row
+    count) if known to skip the sizing count; the only other shuffle is
+    the (doc_id, query_id) count agg. Works unchanged on a streaming
     micro-batch (see ``percolate_stream``).
     """
+    if n_rules is None:
+        n_rules = compiled.count()
+    rules = (F.broadcast(compiled) if n_rules <= BROADCAST_RULE_LIMIT
+             else compiled)
     doc_terms = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(tokenize_udf(F.col(text_col))))
         .alias("term"),
     )
     hits = (
-        doc_terms.join(F.broadcast(compiled), "term")
+        doc_terms.join(rules, "term")
         .groupBy("doc_id", "query_id")
         .agg(
             F.count("*").cast("long").alias("n_matched"),
@@ -121,10 +138,12 @@ def percolate_stream(
         .option("maxFilesPerTrigger", "1")
         .parquet(input_dir)
     )
+    n_rules = compiled.count()  # sized ONCE, not per micro-batch
 
     def _emit(batch_df, batch_id):
         (percolate(batch_df.withColumn(
-            "doc_id", F.xxhash64("conv_id", "turn_idx")), compiled)
+            "doc_id", F.xxhash64("conv_id", "turn_idx")), compiled,
+            n_rules=n_rules)
          .write.mode("append").parquet(output_dir))
 
     return (

@@ -468,6 +468,8 @@ def function_score_topk(
         fv = v
     else:
         raise ValueError(f"unknown modifier {modifier!r}")
+    if boost_mode not in ("multiply", "sum"):
+        raise ValueError(f"unknown boost_mode {boost_mode!r}")
     final = (F.col("score") * fv if boost_mode == "multiply"
              else F.col("score") + fv)
     return (

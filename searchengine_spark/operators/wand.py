@@ -149,11 +149,23 @@ class _Cursor:
         return self.qf * w
 
 
+def _canonical_postings(postings: list[_Postings]) -> list[_Postings]:
+    """Total order for a shard's posting rows: (term, first doc).
+    Salted / range-split rows of one term are doc-disjoint slices, so
+    the pair is unique. See _wand_shard's docstring for why this
+    matters (shuffle-arrival nondeterminism on real clusters)."""
+    return sorted(
+        postings,
+        key=lambda p: (p.term, int(p.docs[0]) if p.n else -1),
+    )
+
+
 def _wand_shard(
     postings: list[_Postings], qf_map: dict[str, float],
     idf_map: dict[str, float], avgdl: float, k: int,
     stats: dict | None = None,
     exclude: frozenset | None = None,
+    presorted: bool = False,
 ) -> list[tuple[int, float]]:
     """Run block-max WAND over one shard's posting lists -> local top-k.
 
@@ -173,11 +185,13 @@ def _wand_shard(
     cluster: the same 160-query batch hashed differently on EVERY call
     until this sort. (term, first-doc) is a total order here: salted or
     range-split rows of one term are doc-disjoint slices.
+
+    ``presorted=True`` skips the sort — the batch path canonicalizes a
+    shard's postings ONCE and reuses them for every query in the batch,
+    instead of re-sorting per query.
     """
-    postings = sorted(
-        postings,
-        key=lambda p: (p.term, int(p.docs[0]) if p.n else -1),
-    )
+    if not presorted:
+        postings = _canonical_postings(postings)
     cursors = [
         _Cursor(p, qf_map[p.term], idf_map[p.term])
         for p in postings
@@ -545,14 +559,19 @@ def wand_topk_batch(
     matched = doc_segments.filter(F.col("term").isin(list(idf_map)))
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        postings = [_Postings(r) for r in pdf.itertuples(index=False)]
+        # canonicalize ONCE per shard; every query in the batch reuses
+        # the sorted list (the per-query sort was 160x redundant work)
+        postings = _canonical_postings(
+            [_Postings(r) for r in pdf.itertuples(index=False)]
+        )
         qids, docs, scores = [], [], []
         for qid, qf_map in qf_maps.items():
             qf_known = {t: v for t, v in qf_map.items() if t in idf_map}
             if not qf_known:
                 continue
             for d, s in _wand_shard(postings, qf_known, idf_map, avgdl, k,
-                                    exclude=bcast.value if bcast else None):
+                                    exclude=bcast.value if bcast else None,
+                                    presorted=True):
                 qids.append(qid)
                 docs.append(d)
                 scores.append(s)

@@ -175,6 +175,46 @@ def test_percolate_and_vs_or(spark):
     assert got1 == {(0, 0): 2, (1, 0): 1, (2, 0): 1, (2, 1): 1}
 
 
+def test_percolate_shuffle_fallback_identical(spark):
+    """A rule set reported larger than BROADCAST_RULE_LIMIT drops the
+    broadcast hint (shuffle hash join on term) yet yields the identical
+    triggered (doc, query) pairs — and the broadcast really is gone
+    from the physical plan."""
+    from searchengine_spark.operators.percolate import (
+        BROADCAST_RULE_LIMIT,
+        compile_queries,
+        percolate,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "beta delta"), (2, "nothing here")],
+        "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "delta"), (2, "gamma beta")],
+        "query_id int, query string")
+    compiled = compile_queries(queries, min_should_match=1)
+
+    # Disable size-based auto-broadcast: at test scale AQE would
+    # otherwise re-plan the hintless join back to broadcast and the
+    # shuffle path would never execute. The explicit broadcast() hint
+    # on the small path survives threshold=-1, so both shapes run.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        small = percolate(docs, compiled)  # counts -> broadcast path
+        big = percolate(docs, compiled, n_rules=BROADCAST_RULE_LIMIT + 1)
+        rows_small = sorted(map(tuple, small.collect()))
+        rows_big = sorted(map(tuple, big.collect()))
+        assert rows_small == rows_big and rows_big
+
+        plan_big = big._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan_big
+        plan_small = small._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan_small
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_percolate_msm_clamps(spark):
     from searchengine_spark.operators.percolate import (
         compile_queries,

@@ -260,6 +260,22 @@ def test_delete_by_query_masks_all_matches(spark, eng_idx, q2):
     os.remove(eng._tombstone_path())
 
 
+def test_delete_by_query_drains_past_max_docs(spark, eng_idx, q2):
+    """max_docs smaller than the match count forces the drain loop:
+    every pass tombstones a batch, masking it out of the next search,
+    until no matches remain — a partial delete is never silent."""
+    from searchengine_spark.engine import SearchEngine
+
+    eng = SearchEngine.load(spark, eng_idx)
+    term = q2.split()[0]
+    n = eng.search(term, k=100_000, mode="exhaustive").count()
+    assert n > 1
+    dead = eng.delete_by_query(term, max_docs=(n + 1) // 2)
+    assert len(dead) >= n
+    assert eng.search(term, k=5, mode="exhaustive").count() == 0
+    os.remove(eng._tombstone_path())
+
+
 def test_engine_dis_max_vs_operator(spark, eng_idx, q2):
     """Serving path == direct operator over the same layout, and the
     layout cache is shared with search_bm25f (built once)."""
