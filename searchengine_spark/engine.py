@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import json
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -46,6 +46,16 @@ class SearchEngine:
     doc_segments: DataFrame | None
     term_segments: DataFrame | None = None
     pos_postings: DataFrame | None = None
+    #: warm stats cache: term -> df (0 = out of vocabulary). Query-
+    #: vocabulary-sized (only terms actually searched land here), so
+    #: driver-safe at any corpus scale; filled per miss with ONE tiny
+    #: term_stats lookup, then every repeat query serves its idf map
+    #: without a Spark action. Valid for the engine's lifetime: deletes
+    #: never move build-time stats (Lucene semantics, see purge_deleted).
+    _df_memo: dict = field(default_factory=dict, repr=False)
+    #: mode actually served by the last search() call ("wand" | "term" |
+    #: "exhaustive" | ...) — introspection for auto-mode selection.
+    last_search_mode: str | None = field(default=None, repr=False)
 
     @staticmethod
     def load(spark: SparkSession, index_dir: str,
@@ -170,32 +180,75 @@ class SearchEngine:
 
     # -- query ----------------------------------------------------------
 
-    def search(self, query: str, k: int = 10, mode: str = "wand") -> DataFrame:
-        """Top-k (doc_id, score). mode: "wand" (block-max pruned, default),
+    def _idf_for(self, query: str) -> dict[str, float]:
+        """idf per query term from the warm stats cache, collecting
+        term_stats rows ONLY for never-seen terms (out-of-vocabulary
+        terms memoized as df=0 so they never re-collect). Warm repeat
+        queries cost zero Spark actions for stats."""
+        from searchengine_spark.operators.segments import idf_np
+        from searchengine_spark.operators.wand import query_qf
+
+        terms = list(query_qf(query))
+        missing = [t for t in terms if t not in self._df_memo]
+        if missing:
+            rows = (
+                self.term_stats.filter(F.col("term").isin(missing))
+                .select("term", "df")
+                .collect()
+            )
+            got = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                self._df_memo[t] = got.get(t, 0)
+        return {
+            t: idf_np(self._df_memo[t], self.scalars.n_docs)
+            for t in terms if self._df_memo[t] > 0
+        }
+
+    def search(self, query: str, k: int = 10,
+               mode: str | None = None) -> DataFrame:
+        """Top-k (doc_id, score). mode: "wand" (block-max pruned),
         "exhaustive" (relational verification path), "reference" (the
         reference formula incl. its 1000-posting cap), "term" (block-max
         WAND over the term-partitioned layout — the merged/incremental
         serving path, operators/wand.py wand_topk_terms). Tombstoned
-        docs are masked in every mode. mode="wand" silently falls back
-        to the term layout when only that layout exists (an index built
-        by streaming compaction)."""
+        docs are masked in every mode.
+
+        ``mode=None`` (the default) picks the best available path,
+        ES-style: the doc-sharded WAND layout when present, the
+        term-partitioned layout otherwise, and the index-free exhaustive
+        scorer as the last resort — so ``search(q)`` just works on any
+        index. The served mode is recorded in ``last_search_mode``.
+        mode="wand" still silently falls back to the term layout when
+        only that layout exists (an index built by streaming
+        compaction). Per-term idf comes from the warm stats cache
+        (``_idf_for``): repeat terms never re-trigger a stats lookup."""
+        if mode is None:
+            if self.doc_segments is not None:
+                mode = "wand"
+            elif self.term_segments is not None:
+                mode = "term"
+            else:
+                mode = "exhaustive"
         dead = self.tombstones()
         if mode == "wand" and self.doc_segments is None \
                 and self.term_segments is not None:
             mode = "term"
+        self.last_search_mode = mode
         if mode == "term":
             if self.term_segments is None:
                 raise ValueError("index has no term-segment layout")
             return wand_topk_terms(self.term_segments, query,
                                    self.term_stats, self.scalars.n_docs,
                                    self.scalars.avgdl, k=k,
-                                   exclude=dead or None)
+                                   exclude=dead or None,
+                                   idf_map=self._idf_for(query))
         if mode == "wand":
             if self.doc_segments is None:
                 raise ValueError("index has no doc-segment layout")
             return wand_topk(self.doc_segments, query, self.term_stats,
                              self.scalars.n_docs, self.scalars.avgdl, k=k,
-                             exclude=dead or None)
+                             exclude=dead or None,
+                             idf_map=self._idf_for(query))
         from searchengine_spark.operators.deletes import exclude_tf
 
         tf = exclude_tf(tf_from_doc_map(self.doc_map), set(dead))

@@ -132,6 +132,7 @@ def federated_wand_topk(
     exclude=None,
     merged_stats: DataFrame | None = None,
     merged_scalars: CorpusScalars | None = None,
+    idf_map: dict[str, float] | None = None,
 ) -> DataFrame:
     """Block-max WAND across independently-built SEGMENT layouts — the
     federation's serving path (federated_topk is the exhaustive
@@ -174,7 +175,7 @@ def federated_wand_topk(
         else merge_slice_scalars(slice_scalars)
     unioned = _federated_segments(slice_segments, slice_scalars, g)
     return wand_topk(unioned, query, stats, g.n_docs, g.avgdl, k=k,
-                     exclude=exclude)
+                     exclude=exclude, idf_map=idf_map)
 
 
 def _federated_segments(
@@ -230,6 +231,25 @@ class FederatedEngine:
         self.stats = merge_slice_stats(
             [e.term_stats for e in engines]).cache()
         self.scalars = merge_slice_scalars([e.scalars for e in engines])
+        # warm stats cache over the MERGED stats (same contract as
+        # SearchEngine._df_memo: term -> merged df, 0 = OOV); repeat
+        # query terms cost zero Spark actions for idf
+        self._df_memo: dict = {}
+
+    def _idf_for(self, query: str) -> dict[str, float]:
+        from searchengine_spark.operators.segments import idf_np
+        from searchengine_spark.operators.wand import query_qf
+
+        terms = list(query_qf(query))
+        missing = [t for t in terms if t not in self._df_memo]
+        if missing:
+            rows = (self.stats.filter(F.col("term").isin(missing))
+                    .select("term", "df").collect())
+            got = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                self._df_memo[t] = got.get(t, 0)
+        return {t: idf_np(self._df_memo[t], self.scalars.n_docs)
+                for t in terms if self._df_memo[t] > 0}
 
     @staticmethod
     def load(spark, index_dirs: list[str],
@@ -278,6 +298,7 @@ class FederatedEngine:
         dead = frozenset().union(*[e.tombstones() for e in self.engines])
         doc_es = [e for e in self.engines if e.doc_segments is not None]
         term_es = [e for e in self.engines if e.doc_segments is None]
+        idf_map = self._idf_for(query)
         outs = []
         if doc_es:
             outs.append(federated_wand_topk(
@@ -286,6 +307,7 @@ class FederatedEngine:
                 [e.scalars for e in doc_es],
                 query, k=k, exclude=dead or None,
                 merged_stats=self.stats, merged_scalars=self.scalars,
+                idf_map=idf_map,
             ))
         for e in term_es:
             if e.term_segments is None:
@@ -293,6 +315,7 @@ class FederatedEngine:
             outs.append(wand_topk_terms(
                 e.term_segments, query, self.stats, self.scalars.n_docs,
                 self.scalars.avgdl, k=k, exclude=dead or None,
+                idf_map=idf_map,
             ))
         merged = outs[0]
         for o in outs[1:]:

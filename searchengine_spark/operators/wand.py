@@ -298,6 +298,7 @@ def wand_topk(
     k: int = 10,
     exclude: set | frozenset | DataFrame | DocIdBitmap | None = None,
     spread: int | None = None,
+    idf_map: dict[str, float] | None = None,
 ) -> DataFrame:
     """Top-k BM25 over doc-sharded segments with block-max WAND pruning.
 
@@ -309,6 +310,10 @@ def wand_topk(
     before scoring (operators/deletes.py) — a set/iterable, a DataFrame
     of ids, or a prebuilt DocIdBitmap; always shipped as a broadcast
     packed bitmap (functions/bitmap.py), never in the task closure.
+
+    ``idf_map``: precomputed idf per query term (SearchEngine's warm
+    stats cache) — skips the per-query term_stats lookup action; terms
+    absent from the map are treated as out-of-vocabulary.
     """
     bcast = _exclude_broadcast(doc_segments.sparkSession, exclude)
     qf_map = query_qf(query)
@@ -316,12 +321,16 @@ def wand_topk(
         spark = doc_segments.sparkSession
         return spark.createDataFrame([], _TOPK_SCHEMA)
 
-    df_rows = (
-        term_stats.filter(F.col("term").isin(list(qf_map)))
-        .select("term", "df")
-        .collect()
-    )
-    idf_map = {r["term"]: idf_np(int(r["df"]), n_docs) for r in df_rows}
+    if idf_map is None:
+        df_rows = (
+            term_stats.filter(F.col("term").isin(list(qf_map)))
+            .select("term", "df")
+            .collect()
+        )
+        idf_map = {r["term"]: idf_np(int(r["df"]), n_docs)
+                   for r in df_rows}
+    else:
+        idf_map = {t: v for t, v in idf_map.items() if t in qf_map}
     matched = doc_segments.filter(F.col("term").isin(list(idf_map)))
     if not idf_map:
         spark = doc_segments.sparkSession
@@ -363,6 +372,7 @@ def wand_topk_terms(
     k: int = 10,
     exclude: set | frozenset | DataFrame | DocIdBitmap | None = None,
     n_groups: int | None = None,
+    idf_map: dict[str, float] | None = None,
 ) -> DataFrame:
     """Top-k BM25 over the TERM-partitioned layout (the merged /
     incremental index, operators/merge.py) with block-max WAND.
@@ -392,12 +402,16 @@ def wand_topk_terms(
     spark = term_segments.sparkSession
     if not qf_map:
         return spark.createDataFrame([], _TOPK_SCHEMA)
-    df_rows = (
-        term_stats.filter(F.col("term").isin(list(qf_map)))
-        .select("term", "df")
-        .collect()
-    )
-    idf_map = {r["term"]: idf_np(int(r["df"]), n_docs) for r in df_rows}
+    if idf_map is None:
+        df_rows = (
+            term_stats.filter(F.col("term").isin(list(qf_map)))
+            .select("term", "df")
+            .collect()
+        )
+        idf_map = {r["term"]: idf_np(int(r["df"]), n_docs)
+                   for r in df_rows}
+    else:
+        idf_map = {t: v for t, v in idf_map.items() if t in qf_map}
     if not idf_map:
         return spark.createDataFrame([], _TOPK_SCHEMA)
     matched = term_segments.filter(F.col("term").isin(list(idf_map)))

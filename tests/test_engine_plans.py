@@ -149,3 +149,51 @@ def test_facet_histogram_covers_hits(engine):
     for r in rows:
         if r.bucket is not None:
             assert r.bucket_start == r.bucket * 3600.0
+
+
+# ---------------------------------------------------------------------------
+# auto mode selection + warm stats cache (round 4)
+# ---------------------------------------------------------------------------
+
+def test_auto_mode_picks_indexed_path_and_warms_cache(engine):
+    """search() with NO mode argument serves the doc-sharded WAND layout
+    (ES-like default), records it in last_search_mode, and memoizes the
+    query terms' df so the repeat query costs zero stats lookups — proven
+    the hard way: the stats table is removed and the repeat still runs."""
+    w = vocab()
+    q = f"{w[0]} {w[3]} zzznope"
+    first = engine.search(q, k=5)
+    assert engine.last_search_mode == "wand"
+    # the served plan is the grouped-map WAND kernel, not the relational
+    # exhaustive path
+    assert "FlatMapGroupsInPandas" in \
+        first._jdf.queryExecution().executedPlan().toString()
+    a = [(r.doc_id, round(r.score, 9)) for r in first.collect()]
+    assert a
+    assert engine._df_memo.get("zzznope") == 0  # OOV memoized too
+    assert engine._df_memo[w[0]] > 0
+    saved = engine.term_stats
+    engine.term_stats = None  # any stats lookup would now crash
+    try:
+        b = [(r.doc_id, round(r.score, 9))
+             for r in engine.search(q, k=5).collect()]
+    finally:
+        engine.term_stats = saved
+    assert a == b
+
+
+def test_auto_mode_falls_back_to_exhaustive(engine):
+    """An index with no segment layout at all (doc store only) serves
+    the relational exhaustive scorer under auto mode instead of raising
+    — same ranking as asking for exhaustive explicitly."""
+    import dataclasses
+
+    w = vocab()
+    bare = dataclasses.replace(engine, doc_segments=None,
+                               term_segments=None)
+    got = [(r.doc_id, round(r.score, 9))
+           for r in bare.search(w[0], k=5).collect()]
+    assert bare.last_search_mode == "exhaustive"
+    want = [(r.doc_id, round(r.score, 9))
+            for r in engine.search(w[0], k=5, mode="exhaustive").collect()]
+    assert got == want and got
