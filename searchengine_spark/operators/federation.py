@@ -267,8 +267,14 @@ class FederatedEngine:
         spans = []
         for d, e in zip(index_dirs, engines):
             with open(_os.path.join(d, "scalars.json")) as f:
-                base = int(_json.load(f).get("doc_id_base", 0))
-            spans.append((base, base + e.scalars.n_docs, d))
+                s = _json.load(f)
+            base = int(s.get("doc_id_base", 0))
+            # a consolidated slice's ids may be non-contiguous (the
+            # union of its constituents' ranges): its scalars.json
+            # records the true span end, which base + n_docs would
+            # under-cover
+            end = max(base + e.scalars.n_docs, int(s.get("doc_id_end", 0)))
+            spans.append((base, end, d))
         spans.sort()
         for (a0, a1, da), (b0, b1, db) in zip(spans, spans[1:]):
             if b0 < a1:
@@ -364,3 +370,100 @@ class FederatedEngine:
             "avgdl": self.scalars.avgdl,
             "n_tombstones": sum(len(e.tombstones()) for e in self.engines),
         }
+
+
+def consolidate_slices(
+    spark,
+    index_dirs: list[str],
+    out_dir: str,
+    df_target: int | None = None,
+    num_partitions: int | None = None,
+) -> str:
+    """Merge COLD federation slices into one consolidated slice — the
+    retirement/compaction policy for a federation that otherwise
+    accumulates slices forever (per-query scatter cost grows with slice
+    count; consolidation caps it).
+
+    Uses the existing machinery end-to-end: each slice's term-partitioned
+    segments (rebuilt from its doc store when only the doc layout exists
+    — no re-tokenization, doc_map carries the (terms, tfs) arrays) are
+    sort-merged by operators/merge.py merge_term_segments with
+    doc_offset=0 (slice ids are already global under the doc_id_base
+    contract); term_stats merge additively; scalars merge as moments.
+    The constituents' tombstones are applied DURING the merge (the
+    Lucene model: the merge decodes and re-encodes every posting anyway,
+    so deletes are free) and the consolidated slice starts clean, with
+    build-time stats pinned — so serving results are bit-identical
+    before/after consolidation by construction, and tests assert it.
+
+    The consolidated id range is the union of constituent ranges, which
+    may be non-contiguous; scalars.json records ``doc_id_base`` = min
+    base and ``doc_id_end`` = max end so FederatedEngine.load's
+    disjointness check covers the true span.
+
+    Returns ``out_dir``, loadable by SearchEngine.load (term layout) and
+    servable in a federation alongside the remaining hot slices."""
+    import json as _json
+    import os as _os
+
+    from searchengine_spark.engine import SearchEngine
+    from searchengine_spark.operators.ingest import tf_from_doc_map
+    from searchengine_spark.operators.merge import merge_term_segments
+    from searchengine_spark.operators.segments import (
+        DEFAULT_DF_TARGET,
+        build_term_segments,
+    )
+
+    if df_target is None:
+        df_target = DEFAULT_DF_TARGET
+    engines = [SearchEngine.load(spark, d, cache_stats=False)
+               for d in index_dirs]
+    bases, ends = [], []
+    for d, e in zip(index_dirs, engines):
+        with open(_os.path.join(d, "scalars.json")) as f:
+            s = _json.load(f)
+        base = int(s.get("doc_id_base", 0))
+        bases.append(base)
+        ends.append(max(base + e.scalars.n_docs,
+                        int(s.get("doc_id_end", 0))))
+    dead = frozenset().union(*[e.tombstones() for e in engines])
+    sc = merge_slice_scalars([e.scalars for e in engines])
+    stats = merge_slice_stats([e.term_stats for e in engines])
+
+    parts = []
+    for e in engines:
+        segs = e.term_segments
+        if segs is None:
+            segs = build_term_segments(
+                tf_from_doc_map(e.doc_map), e.term_stats,
+                e.scalars.n_docs, e.scalars.avgdl, df_target=df_target)
+        parts.append((segs, 0))
+    merged = merge_term_segments(
+        parts, avgdl_merged=sc.avgdl, df_target=df_target,
+        num_partitions=num_partitions, tombstones=dead or None)
+
+    _os.makedirs(out_dir, exist_ok=True)
+    merged.write.mode("overwrite").parquet(
+        _os.path.join(out_dir, "term_segments.parquet"))
+    stats.write.mode("overwrite").parquet(
+        _os.path.join(out_dir, "term_stats.parquet"))
+    doc_map = None
+    for e in engines:
+        # allowMissingColumns: a streaming slice's reconstructed doc map
+        # carries (doc_id, dl) only — absent metadata reads NULL
+        doc_map = e.doc_map if doc_map is None else doc_map.unionByName(
+            e.doc_map, allowMissingColumns=True)
+    if dead:
+        doc_map = doc_map.filter(
+            ~F.col("doc_id").isin([int(x) for x in dead]))
+    doc_map.write.mode("overwrite").parquet(
+        _os.path.join(out_dir, "doc_map.parquet"))
+    with open(_os.path.join(out_dir, "scalars.json"), "w") as f:
+        _json.dump({
+            "n_docs": sc.n_docs,
+            "sum_dl": sc.sum_dl,
+            "avgdl": sc.avgdl,
+            "doc_id_base": min(bases),
+            "doc_id_end": max(ends),
+        }, f)
+    return out_dir

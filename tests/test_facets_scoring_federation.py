@@ -563,3 +563,72 @@ def test_rescore_window_semantics(built, q2):
             round(bm25[d] + 0.5 * lm[d], 6), abs=2e-6)
     with pytest.raises(ValueError):
         rescore_topk(tf, stats, scalars, q2, k=50, window=10)
+
+
+def test_consolidation_bit_identity_and_span_check(spark, small, q2,
+                                                   tmp_path_factory):
+    """Slice retirement policy (consolidate_slices): federating
+    [consolidated(cold0, cold1), hot] returns BIT-IDENTICAL (doc_id,
+    score) rows to federating the three original slices — including a
+    tombstone in a cold slice, physically purged during the merge with
+    build-time stats pinned (Lucene delete semantics). Also pins the
+    span-aware disjointness check: a consolidation of NON-adjacent
+    slices records doc_id_end, so a slice whose id range falls inside
+    the consolidated span is rejected at load even though base + n_docs
+    alone would not cover it."""
+    from searchengine_spark.engine import SearchEngine
+    from searchengine_spark.operators.federation import (
+        FederatedEngine,
+        consolidate_slices,
+    )
+    from searchengine_spark.pipeline import run_build
+
+    convs = sorted(r.conv_id for r in
+                   small.select("conv_id").distinct().collect())
+    c1, c2 = convs[len(convs) // 3], convs[2 * len(convs) // 3]
+    p0 = small.filter(F.col("conv_id") < c1)
+    p1 = small.filter((F.col("conv_id") >= c1) & (F.col("conv_id") < c2))
+    p2 = small.filter(F.col("conv_id") >= c2)
+    n0, n1 = p0.count(), p1.count()
+    B1, B2 = 1 << 20, 1 << 30  # deliberately NON-contiguous id ranges
+
+    root = tmp_path_factory.mktemp("consol")
+    d0, d1, d2 = str(root / "s0"), str(root / "s1"), str(root / "s2")
+    run_build(spark, p0, d0, num_doc_partitions=2, layouts=("doc",),
+              n_shards=2)
+    run_build(spark, p1, d1, num_doc_partitions=2, layouts=("doc",),
+              n_shards=2, doc_id_base=B1)
+    run_build(spark, p2, d2, num_doc_partitions=2, layouts=("doc",),
+              n_shards=2, doc_id_base=B2)
+
+    fed3 = FederatedEngine.load(spark, [d0, d1, d2])
+    hits = [(r.doc_id, round(r.score, 9))
+            for r in fed3.search(q2, k=10).collect()]
+    assert hits
+    # tombstone a cold-slice hit (consolidation must purge it)
+    victim = next(d for d, _ in hits if d < B2)
+    owner = fed3.engines[0] if victim < B1 else fed3.engines[1]
+    owner.delete_docs([victim])
+    before = [(r.doc_id, round(r.score, 9))
+              for r in fed3.search(q2, k=10).collect()]
+    assert victim not in [d for d, _ in before]
+
+    dc = consolidate_slices(spark, [d0, d1], str(root / "cold"))
+    os.remove(owner._tombstone_path())
+
+    cold = SearchEngine.load(spark, dc)
+    assert cold.doc_segments is None and cold.term_segments is not None
+    assert cold.scalars.n_docs == n0 + n1  # stats pinned despite purge
+    # the purged doc is physically gone from every layout
+    assert cold.doc_map.filter(F.col("doc_id") == victim).count() == 0
+
+    fed2 = FederatedEngine.load(spark, [dc, d2])
+    after = [(r.doc_id, round(r.score, 9))
+             for r in fed2.search(q2, k=10).collect()]
+    assert after == before
+
+    # non-adjacent consolidation: [s0, s2] leaves s1's range INSIDE the
+    # consolidated span; doc_id_end makes load reject the overlap
+    dc02 = consolidate_slices(spark, [d0, d2], str(root / "cold02"))
+    with pytest.raises(ValueError, match="overlap"):
+        FederatedEngine.load(spark, [dc02, d1])
