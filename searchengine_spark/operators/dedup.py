@@ -479,8 +479,9 @@ def connected_components(
     labels (every returned component is a superset-split of the true
     one: labels only ever decrease toward the true minimum).
     """
-    if on_budget not in ("raise", "warn"):
-        raise ValueError(f"on_budget must be 'raise' or 'warn', got {on_budget!r}")
+    if on_budget not in ("raise", "warn", "alternate"):
+        raise ValueError(
+            f"on_budget must be 'raise', 'warn' or 'alternate', got {on_budget!r}")
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
         fwd.union(fwd.select(F.col("dst").alias("src"),
@@ -524,11 +525,120 @@ def connected_components(
                f"or switch to a log-diameter method for this input.")
         if on_budget == "raise":
             raise RuntimeError(msg)
+        if on_budget == "alternate":
+            # the log-diameter insurance path: restart with
+            # large-star/small-star, which converges in O(log n) rounds
+            # regardless of diameter — correct labels always beat the
+            # partial budget-exhausted ones
+            return connected_components_alternating(pairs, id_a, id_b)
         import warnings
 
         warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select(F.col("src").alias("doc_id"),
                          F.col("label").alias("component"))
+
+
+def connected_components_alternating(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """(doc_id, component) via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the log-diameter twin of ``connected_components`` for web-graph-
+    shaped inputs where min-label propagation's diameter-rounds bound is
+    the bottleneck (a sliding-window crawl whose pages near-dup only
+    their neighbors is a path graph: diameter == chain length).
+
+    Each round rewires the edge set toward stars rooted at component
+    minima, halving long chains, so a diameter-10^6 chain converges in
+    ~20 rounds instead of 10^6 label sweeps:
+
+    - large-star: every node links its LARGER neighbors to the minimum
+      of its closed neighborhood (strictly decreases large-side depth;
+      never creates an edge whose small side isn't a local minimum).
+    - small-star: every node links its smaller-or-equal neighbors (and
+      itself) to that minimum, collapsing two-level trees into stars.
+
+    Both steps are one groupBy each (min over the neighborhood rides the
+    shuffle as a partial agg) plus one broadcast-free join keyed on the
+    grouping column; per-round ``localCheckpoint`` caps lineage exactly
+    like the label-propagation path. Fixpoint = edge set unchanged
+    (child->parent rows compared exactly via two anti-joins on the
+    CHANGED probe, not a hash). At fixpoint every component is a star
+    centered on its minimum id, so the star edges ARE the labels.
+
+    ``max_rounds=40`` covers components of ~2^40 nodes; exhausting it
+    still raises (same never-silent contract as the propagation path).
+    """
+    # any orderable id type works (min/greatest/least are type-generic),
+    # matching connected_components' contract
+    raw = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    # canonical child->parent orientation (u > v), deduped; self-pairs
+    # carry no connectivity but their node must still label as itself
+    # (same contract as connected_components)
+    edges = (
+        raw.filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"),
+                F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    members = (
+        raw.select(F.col("u").alias("doc_id"))
+        .union(raw.select(F.col("v").alias("doc_id")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        m = m.select("u", F.least("mv", F.col("u")).alias("m"))
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # already child->parent oriented (u > v) by construction
+        m = e.groupBy("u").agg(F.min("v").alias("m"))
+        relink = (
+            e.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        return relink
+
+    for _ in range(max_rounds):
+        new = _small_star(_large_star(edges)).localCheckpoint()
+        changed = (
+            new.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(new).limit(1).count()
+        )
+        edges = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_alternating did not converge within "
+            f"max_rounds={max_rounds} — components larger than 2^{max_rounds}"
+            f" nodes, or a non-terminating edge oscillation (file a bug).")
+
+    labels = edges.select(F.col("u").alias("doc_id"),
+                          F.col("v").alias("component"))
+    # roots (and any node whose star collapsed onto itself) label as self
+    return (
+        members.join(labels, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("component", "doc_id").alias("component"))
+    )
 
 
 def keep_best(

@@ -403,3 +403,64 @@ def test_connected_components_path_graph_budget_alarm(spark):
 
     with pytest.raises(ValueError, match="on_budget"):
         connected_components(pairs, on_budget="explode")
+
+
+def test_alternating_cc_log_rounds_on_long_chain(spark):
+    """The large-star/small-star twin converges on a diameter-119 path
+    graph in O(log n) rounds — far inside a budget that label
+    propagation (diameter rounds) must blow — and labels every node with
+    the chain minimum. The verdict-#8 insurance path for
+    web-graph-shaped dup inputs (sliding-window crawls)."""
+    from searchengine_spark.operators.dedup import (
+        connected_components,
+        connected_components_alternating,
+    )
+
+    n = 120  # diameter 119: propagation needs ~119 sweeps
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+
+    got = {r.doc_id: r.component
+           for r in connected_components_alternating(
+               pairs, max_rounds=14).collect()}  # ~2*log2(120) + slack
+    assert got == {i: 0 for i in range(n)}
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iters=5)
+
+
+def test_alternating_cc_agrees_with_propagation(spark):
+    """Exact agreement with min-label propagation on a mixed fixture:
+    chains, a star, a merged cluster, an isolated pair, and a self-pair
+    (which must still label as itself)."""
+    from searchengine_spark.operators.dedup import (
+        connected_components,
+        connected_components_alternating,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13),
+         (20, 21), (5, 6), (7, 8), (6, 7), (100, 8), (42, 42)],
+        "id_a long, id_b long",
+    )
+    prop = {r.doc_id: r.component
+            for r in connected_components(pairs).collect()}
+    alt = {r.doc_id: r.component
+           for r in connected_components_alternating(pairs).collect()}
+    assert alt == prop
+    assert alt[42] == 42
+
+
+def test_cc_on_budget_alternate_falls_back(spark):
+    """on_budget='alternate': exhausting the propagation budget hands
+    the input to the alternating method and returns CORRECT labels (the
+    other two modes raise / return partials)."""
+    from searchengine_spark.operators.dedup import connected_components
+
+    n = 40
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    got = {r.doc_id: r.component
+           for r in connected_components(
+               pairs, max_iters=3, on_budget="alternate").collect()}
+    assert got == {i: 0 for i in range(n)}
