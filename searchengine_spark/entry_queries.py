@@ -537,6 +537,23 @@ def q_dedup_components(spark, sf_dir):
     )
 
 
+def q_dedup_components_lsls(spark, sf_dir):
+    """Same duplicate-cluster assignment computed by the log-diameter
+    large-star/small-star algorithm (operators/dedup.py
+    connected_components_alternating, Kiveris et al.) — O(log n) rounds
+    regardless of graph diameter, the path a web-graph-shaped dup input
+    (sliding-window crawl chains) needs. Shares dedup_components'
+    DuckDB oracle: both must produce the identical labeling."""
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir),
+                                      threshold=_JACCARD_THRESHOLD)
+    comp = dedup.connected_components_alternating(pairs)
+    return comp.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+        (F.col("doc_id") == F.col("component")).alias("keep"),
+    )
+
+
 SQL_DEDUP_COMPONENTS = f"""WITH RECURSIVE {_SHINGLE_CTES},
 sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
 inter AS (
@@ -3728,6 +3745,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_logprob": q_doc_logprob,
         "doc_bigram_logprob": q_doc_bigram_logprob,
         "repetition_stats": q_repetition_stats,
+        # appended (not rotated into the first-50 gate window): the
+        # log-diameter CC twin, same oracle as dedup_components
+        "dedup_components_lsls": q_dedup_components_lsls,
     }
 
 
@@ -3816,6 +3836,7 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "doc_logprob": SQL_DOC_LOGPROB,
         "doc_bigram_logprob": SQL_DOC_BIGRAM_LOGPROB,
         "repetition_stats": SQL_REPETITION_STATS,
+        "dedup_components_lsls": SQL_DEDUP_COMPONENTS,
         "pii_scan": SQL_PII_SCAN,
         "source_divergence": SQL_SOURCE_DIVERGENCE,
         "quality_score": SQL_QUALITY,
