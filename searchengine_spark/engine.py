@@ -428,27 +428,36 @@ class SearchEngine:
             attr=attr, factor=factor, modifier=modifier, k=k)
 
     def delete_by_query(self, query: str, mode: str = "exhaustive",
-                        max_docs: int = 10_000) -> frozenset:
+                        max_docs: int | None = None,
+                        batch_size: int = 10_000) -> frozenset:
         """Tombstone every doc matching ``query`` (the ES
         delete_by_query analog): run the search (exhaustive mode by
         default so ALL matches are candidates, not just a top-k), mask
-        the ids. ``max_docs`` bounds the driver-side id list — the same
+        the ids. ``max_docs`` is the ES semantic — a cap on the TOTAL
+        number of documents deleted (None = delete every match);
+        ``batch_size`` bounds each pass's driver-side id list — the same
         driver-sized-set contract as ``delete_docs`` (the broadcast-
         bitmap path in operators/wand.py handles serving-time masking
         at scale; physical removal is ``purge_deleted``). Returns the
-        new full tombstone set. Drains in ``max_docs``-sized passes until
-        no matches remain (the already-deleted ids are tombstone-masked
-        out of the next pass), so a partial delete is never silent —
-        matching the ES analog, which deletes ALL matches."""
+        new full tombstone set. Drains in ``batch_size``-sized passes
+        until no matches remain or ``max_docs`` is reached (the
+        already-deleted ids are tombstone-masked out of the next pass),
+        so a partial delete is never silent."""
         out = self.tombstones()
-        while True:
-            hits = self.search(query, k=max_docs, mode=mode).select("doc_id")
+        deleted = 0
+        while max_docs is None or deleted < max_docs:
+            take = batch_size
+            if max_docs is not None:
+                take = min(take, max_docs - deleted)
+            hits = self.search(query, k=take, mode=mode).select("doc_id")
             ids = [r["doc_id"] for r in hits.collect()]
             if not ids:
-                return out
+                break
             out = self.delete_docs(ids)
-            if len(ids) < max_docs:
-                return out
+            deleted += len(ids)
+            if len(ids) < take:
+                break
+        return out
 
     def index_stats(self) -> dict:
         """Serving-surface snapshot of the loaded index: corpus scalars

@@ -3604,6 +3604,80 @@ def q_federated_wand_topk(spark, sf_dir):
     )
 
 
+def q_consolidated_topk(spark, sf_dir):
+    """Slice retirement end-to-end (operators/federation.py
+    consolidate_slices + FederatedEngine.load/search): the corpus is
+    split into three doc-id tertile slices; each slice's term layout is
+    built independently with its OWN stats and written as an on-disk
+    slice dir; the two OUTER slices are consolidated into one — their
+    scalars.json records the exact constituent range SET, which is
+    non-contiguous because the middle tertile's ids sit in the gap —
+    then the consolidated slice federates with the middle slice (the
+    exact shape an envelope disjointness check would falsely reject).
+    The oracle is plain monolithic exhaustive BM25: consolidation, the
+    range-set check, and federation must all be invisible in the served
+    results."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from searchengine_spark.operators.federation import (
+        FederatedEngine,
+        consolidate_slices,
+    )
+    from searchengine_spark.operators.segments import build_term_segments
+
+    docs = _docs(spark, sf_dir)
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    t1, t2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+    root = _tempfile.mkdtemp(prefix="consol_gate_")
+    try:
+        dirs = []
+        for name, cond in [
+            ("lo", F.col("doc_id") < t1),
+            ("mid", (F.col("doc_id") >= t1) & (F.col("doc_id") < t2)),
+            ("hi", F.col("doc_id") >= t2),
+        ]:
+            part = docs.filter(cond)
+            fwd = build_forward(part)
+            tf = explode_forward(fwd)
+            st = build_term_stats(tf)
+            sc = CorpusScalars.compute(fwd)
+            d = _os.path.join(root, name)
+            build_term_segments(tf, st, sc.n_docs, sc.avgdl).write.parquet(
+                _os.path.join(d, "term_segments.parquet"))
+            st.write.parquet(_os.path.join(d, "term_stats.parquet"))
+            fwd.select(
+                "doc_id", "dl",
+                F.expr("transform(postings, p -> p.term)").alias("terms"),
+                F.expr("transform(postings, p -> p.tf)").alias("tfs"),
+            ).write.parquet(_os.path.join(d, "doc_map.parquet"))
+            span = part.agg(F.min("doc_id").alias("lo"),
+                            F.max("doc_id").alias("hi")).collect()[0]
+            with open(_os.path.join(d, "scalars.json"), "w") as f:
+                _json.dump({
+                    "n_docs": sc.n_docs, "sum_dl": sc.sum_dl,
+                    "avgdl": sc.avgdl,
+                    "doc_id_base": int(span["lo"]),
+                    "doc_id_end": int(span["hi"]) + 1,
+                }, f)
+            dirs.append(d)
+        cold = consolidate_slices(spark, [dirs[0], dirs[2]],
+                                  _os.path.join(root, "cold"))
+        fed = FederatedEngine.load(spark, [cold, dirs[1]])
+        out = [(int(r["doc_id"]), float(r["score"]))
+               for r in fed.search(_FED_QUERY, k=10)
+               .select("doc_id", "score").collect()]
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+    # k rows, rematerialized because the slice dirs are gone (lazy plans
+    # over a deleted tempdir would rescan at driver-collect time)
+    res = spark.createDataFrame(out, "doc_id long, score double")
+    return (res.select("doc_id", F.round("score", 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3615,36 +3689,21 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS record sit past the window (all still verifiable any
     # time with tools/check_entry.py).
     return {
-        # the final 13 registry names with no driver-gate row yet (r1-r3
-        # windows never reached them; all 13 replica-green). After this
-        # round every one of the 117 queries is driver-attested at least
-        # once. media_features' r1 red was the harness canonicalizer on a
-        # list column — its output has since been posexploded to scalars.
-        "media_features": q_media_features,
-        "media_decode": q_media_decode,
-        "media_resize": q_media_resize,
-        "video_frame_sample": q_video_frame_sample,
-        "pii_scan": q_pii_scan,
-        "sessionized_counts": q_sessionized_counts,
-        "sessionized_counts_bucketed": q_sessionized_counts_bucketed,
-        "user_top_events": q_user_top_events,
-        "event_props_stats": q_event_props_stats,
-        "windowed_counts": q_windowed_counts,
-        "source_divergence": q_source_divergence,
-        "source_term_cardinality": q_source_term_cardinality,
-        "span_dup_flags": q_span_dup_flags,
-        # operators whose code changed in round 4 (facet unpivot/ordering,
-        # percolate broadcast fallback, WAND batch canonicalization,
-        # function_score boost_mode guard, federation lifecycle) —
-        # re-attest after the edits
-        "facet_ranges": q_facet_ranges,
-        "facet_stats": q_facet_stats,
-        "facet_top_hits": q_facet_top_hits,
-        "facet_percentiles": q_facet_percentiles,
-        "facet_histogram": q_facet_histogram,
-        "facet_counts": q_facet_counts,
-        "function_score_topk": q_function_score_topk,
+        # round-5 window head: the one name with no driver row yet
+        # (registered after the r4 gate ran), the new consolidation
+        # lifecycle query, and the operators whose code changed this
+        # round (quantizer training sample now hash-ordered; percolate
+        # defaults to broadcast with no sizing action; federation load
+        # checks the exact range set)
+        "dedup_components_lsls": q_dedup_components_lsls,
+        "consolidated_topk": q_consolidated_topk,
+        "pq_topk": q_pq_topk,
+        "ivf_topk": q_ivf_topk,
+        "ann_topk": q_ann_topk,
+        "cosine_topk": q_cosine_topk,
         "percolate_hits": q_percolate_hits,
+        # core flagships filling the rest of the ~50-name window for
+        # continuous re-attestation (all green in r4)
         "wand_topk": _wand_topk("spark join fast", 10),
         "wand_term_topk": q_wand_term_topk,
         "batch_wand_topk": q_batch_wand_topk,
@@ -3653,8 +3712,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "federated_wand_topk": q_federated_wand_topk,
         "merge_segments_roundtrip": q_merge_roundtrip,
         "segment_roundtrip": q_segment_roundtrip,
-        # core flagships filling the rest of the ~50-name window for
-        # continuous re-attestation
         "phrase_topk": q_phrase_topk,
         "near_topk": q_near_topk,
         "bm25f_topk": q_bm25f_topk,
@@ -3669,15 +3726,33 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
-        "ann_topk": q_ann_topk,
-        "pq_topk": q_pq_topk,
         "span_dups": q_span_dups,
         "clean_corpus": q_clean_corpus,
         "hybrid_rrf_topk": q_hybrid_rrf,
         "mmr_topk": q_mmr_topk,
         "budget_select": q_budget_select,
+        "facet_ranges": q_facet_ranges,
+        "facet_stats": q_facet_stats,
+        "facet_top_hits": q_facet_top_hits,
+        "facet_percentiles": q_facet_percentiles,
+        "facet_histogram": q_facet_histogram,
+        "facet_counts": q_facet_counts,
+        "function_score_topk": q_function_score_topk,
+        "media_features": q_media_features,
+        "media_decode": q_media_decode,
+        "media_resize": q_media_resize,
+        "video_frame_sample": q_video_frame_sample,
+        "pii_scan": q_pii_scan,
+        "sessionized_counts": q_sessionized_counts,
+        "sessionized_counts_bucketed": q_sessionized_counts_bucketed,
+        "user_top_events": q_user_top_events,
+        "event_props_stats": q_event_props_stats,
         # --- past the gate window: every name below is green in a driver
-        # CORRECTNESS record (r1/r2/r3) and unchanged this round ---
+        # CORRECTNESS record (r1-r4) and unchanged this round ---
+        "windowed_counts": q_windowed_counts,
+        "source_divergence": q_source_divergence,
+        "source_term_cardinality": q_source_term_cardinality,
+        "span_dup_flags": q_span_dup_flags,
         "dis_max_topk": q_dis_max_topk,
         "ltr_features": q_ltr_features,
         "rescore_topk": q_rescore_topk,
@@ -3729,8 +3804,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidate_pairs": q_lsh_candidates,
         "simhash32": q_simhash,
         "simhash_pairs": q_simhash_pairs,
-        "cosine_topk": q_cosine_topk,
-        "ivf_topk": q_ivf_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "embedding_dup_components": q_embedding_dup_components,
         "lang_id": q_lang_id,
@@ -3745,9 +3818,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_logprob": q_doc_logprob,
         "doc_bigram_logprob": q_doc_bigram_logprob,
         "repetition_stats": q_repetition_stats,
-        # appended (not rotated into the first-50 gate window): the
-        # log-diameter CC twin, same oracle as dedup_components
-        "dedup_components_lsls": q_dedup_components_lsls,
     }
 
 
@@ -3868,6 +3938,7 @@ def all_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "source_mix": SQL_SOURCE_MIX,
         "source_term_cardinality": SQL_SOURCE_TERM_CARDINALITY,
         "pq_topk": SQL_COSINE_TOPK,
+        "consolidated_topk": _bm25_topk_sql(_FED_QUERY, 10),
         "clean_corpus": _clean_corpus_sql(),
         "prf_topk": _prf_topk_sql("spark join fast", 10),
         "more_like_this": _more_like_this_sql(),

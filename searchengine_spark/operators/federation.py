@@ -206,6 +206,34 @@ def _federated_segments(
     return unioned
 
 
+def _merge_ranges(ranges: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Sort half-open [a, b) intervals and coalesce overlapping or
+    touching neighbours — keeps a consolidated slice's range set
+    minimal no matter how many consolidation generations produced it."""
+    out: list[list[int]] = []
+    for a, b in sorted(ranges):
+        if out and a <= out[-1][1]:
+            out[-1][1] = max(out[-1][1], b)
+        else:
+            out.append([a, b])
+    return [(a, b) for a, b in out]
+
+
+def _slice_ranges(scalars_json: dict, n_docs: int) -> list[tuple[int, int]]:
+    """The EXACT doc-id range set a slice occupies, from its
+    scalars.json. A consolidated slice records its constituents'
+    (possibly non-contiguous) ranges under ``doc_id_ranges``; claiming
+    the whole envelope [min base, max end) instead would falsely reject
+    a legitimately disjoint slice whose ids fall in a gap between
+    constituents. Plain slices fall back to one [base, end) interval."""
+    if scalars_json.get("doc_id_ranges"):
+        return _merge_ranges(
+            [(int(a), int(b)) for a, b in scalars_json["doc_id_ranges"]])
+    base = int(scalars_json.get("doc_id_base", 0))
+    end = max(base + n_docs, int(scalars_json.get("doc_id_end", 0)))
+    return [(base, end)]
+
+
 class FederatedEngine:
     """Load-once-serve-many over a FEDERATION of persisted indexes — the
     engine-lifecycle face of this module (engine.py SearchEngine is the
@@ -268,13 +296,8 @@ class FederatedEngine:
         for d, e in zip(index_dirs, engines):
             with open(_os.path.join(d, "scalars.json")) as f:
                 s = _json.load(f)
-            base = int(s.get("doc_id_base", 0))
-            # a consolidated slice's ids may be non-contiguous (the
-            # union of its constituents' ranges): its scalars.json
-            # records the true span end, which base + n_docs would
-            # under-cover
-            end = max(base + e.scalars.n_docs, int(s.get("doc_id_end", 0)))
-            spans.append((base, end, d))
+            for a, b in _slice_ranges(s, e.scalars.n_docs):
+                spans.append((a, b, d))
         spans.sort()
         for (a0, a1, da), (b0, b1, db) in zip(spans, spans[1:]):
             if b0 < a1:
@@ -397,9 +420,11 @@ def consolidate_slices(
     before/after consolidation by construction, and tests assert it.
 
     The consolidated id range is the union of constituent ranges, which
-    may be non-contiguous; scalars.json records ``doc_id_base`` = min
-    base and ``doc_id_end`` = max end so FederatedEngine.load's
-    disjointness check covers the true span.
+    may be non-contiguous; scalars.json records the exact coalesced
+    range SET under ``doc_id_ranges`` (plus the [base, end) envelope
+    for older readers) so FederatedEngine.load's disjointness check is
+    exact — a new slice whose ids fall in a gap between non-adjacent
+    constituents still federates.
 
     Returns ``out_dir``, loadable by SearchEngine.load (term layout) and
     servable in a federation alongside the remaining hot slices."""
@@ -418,14 +443,12 @@ def consolidate_slices(
         df_target = DEFAULT_DF_TARGET
     engines = [SearchEngine.load(spark, d, cache_stats=False)
                for d in index_dirs]
-    bases, ends = [], []
+    ranges: list[tuple[int, int]] = []
     for d, e in zip(index_dirs, engines):
         with open(_os.path.join(d, "scalars.json")) as f:
             s = _json.load(f)
-        base = int(s.get("doc_id_base", 0))
-        bases.append(base)
-        ends.append(max(base + e.scalars.n_docs,
-                        int(s.get("doc_id_end", 0))))
+        ranges.extend(_slice_ranges(s, e.scalars.n_docs))
+    ranges = _merge_ranges(ranges)
     dead = frozenset().union(*[e.tombstones() for e in engines])
     sc = merge_slice_scalars([e.scalars for e in engines])
     stats = merge_slice_stats([e.term_stats for e in engines])
@@ -463,7 +486,12 @@ def consolidate_slices(
             "n_docs": sc.n_docs,
             "sum_dl": sc.sum_dl,
             "avgdl": sc.avgdl,
-            "doc_id_base": min(bases),
-            "doc_id_end": max(ends),
+            # envelope kept for older readers; the exact constituent
+            # range SET is what FederatedEngine.load checks, so a
+            # disjoint slice living in a gap between non-adjacent
+            # constituents still federates
+            "doc_id_base": ranges[0][0],
+            "doc_id_end": ranges[-1][1],
+            "doc_id_ranges": [[a, b] for a, b in ranges],
         }, f)
     return out_dir

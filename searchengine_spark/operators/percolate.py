@@ -88,18 +88,19 @@ def percolate(
     (doc_id, query_id, n_matched, n_required), one row per triggered
     (document, stored query) pair, ordered (doc_id, query_id).
 
-    The compiled table is broadcast when subscriber-sized; above
-    ``BROADCAST_RULE_LIMIT`` rows it joins as a plain shuffle hash join
-    on ``term`` instead (identical pairs, one extra exchange of the
-    exploded doc terms — the right trade once the rule set itself is
-    too big to ship to every executor). Pass ``n_rules`` (compiled row
-    count) if known to skip the sizing count; the only other shuffle is
-    the (doc_id, query_id) count agg. Works unchanged on a streaming
-    micro-batch (see ``percolate_stream``).
+    The compiled table is broadcast by default (percolation rule sets
+    are subscriber-sized — the common path pays NO sizing action);
+    callers with a genuinely huge rule table pass ``n_rules`` (the
+    compiled row count, known at registration time by whoever maintains
+    the rule store) and above ``BROADCAST_RULE_LIMIT`` rows the term
+    join runs as a plain shuffle hash join instead (identical pairs,
+    one extra exchange of the exploded doc terms — the right trade once
+    the rule set itself is too big to ship to every executor). The only
+    other shuffle is the (doc_id, query_id) count agg. Works unchanged
+    on a streaming micro-batch (see ``percolate_stream``).
     """
-    if n_rules is None:
-        n_rules = compiled.count()
-    rules = (F.broadcast(compiled) if n_rules <= BROADCAST_RULE_LIMIT
+    rules = (F.broadcast(compiled)
+             if n_rules is None or n_rules <= BROADCAST_RULE_LIMIT
              else compiled)
     doc_terms = docs.select(
         F.col(id_col).alias("doc_id"),

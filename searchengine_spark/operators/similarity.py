@@ -157,6 +157,23 @@ def ann_topk(
 # is tiny and broadcast by closure, and assignment is one Arrow matmul
 # per batch — the same O(1)-plan-size discipline as lsh_signatures.
 
+def _train_sample(embeddings: DataFrame, sample: int,
+                  id_col: str, vec_col: str) -> list:
+    """Bounded, deterministic, UNBIASED training sample: the ``sample``
+    lowest rows in md5(id) order (a TakeOrdered, never a full sort).
+    Hash order decorrelates the sample from id assignment — on a real
+    corpus doc_ids rank by (conv_id, turn_idx), so "lowest ids" would be
+    the earliest/first-source sliver and the codebooks would train on a
+    non-representative slice. md5 of the id string is stable across
+    reruns/partitionings, so training stays bit-deterministic (resume
+    safety); the id itself is the tiebreak."""
+    return (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(sample).collect()
+    )
+
+
 def ivf_centroids(
     embeddings: DataFrame,
     n_centroids: int = 16,
@@ -167,15 +184,13 @@ def ivf_centroids(
 ) -> np.ndarray:
     """Train the coarse quantizer -> unit-norm (n_centroids, dim) matrix.
 
-    Deterministic: the sample is the ``sample`` lowest ids (a
-    TakeOrdered, never a full sort), init is the first n_centroids sample
-    rows, and Lloyd assignment breaks ties by lowest centroid index.
-    Spherical k-means (normalize, assign by max dot) so assignment and
-    query probing agree with cosine ranking."""
-    rows = (
-        embeddings.select(id_col, vec_col)
-        .orderBy(id_col).limit(sample).collect()
-    )
+    Deterministic: the sample is the ``sample`` first vectors in
+    md5(id) hash order (see ``_train_sample`` — unbiased w.r.t. id
+    assignment, still a bounded TakeOrdered), init is the first
+    n_centroids sample rows, and Lloyd assignment breaks ties by lowest
+    centroid index. Spherical k-means (normalize, assign by max dot) so
+    assignment and query probing agree with cosine ranking."""
+    rows = _train_sample(embeddings, sample, id_col, vec_col)
     m = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
     m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
     cent = m[:n_centroids].copy()
@@ -322,12 +337,10 @@ def pq_codebooks(
     At 100 TB the point of PQ is MEMORY: a vector becomes m uint8 codes
     (m bytes) instead of dim floats — the candidate-generation structure
     fits where raw vectors cannot. Training mirrors ``ivf_centroids``:
-    deterministic bounded sample (lowest ids), first-rows init, lowest-
-    index tie-break, empty clusters keep their previous centroid."""
-    rows = (
-        embeddings.select(id_col, vec_col)
-        .orderBy(id_col).limit(sample).collect()
-    )
+    deterministic bounded sample in md5(id) hash order (unbiased w.r.t.
+    id assignment, see ``_train_sample``), first-rows init, lowest-index
+    tie-break, empty clusters keep their previous centroid."""
+    rows = _train_sample(embeddings, sample, id_col, vec_col)
     x = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     dim = x.shape[1]

@@ -201,7 +201,7 @@ def test_percolate_shuffle_fallback_identical(spark):
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        small = percolate(docs, compiled)  # counts -> broadcast path
+        small = percolate(docs, compiled)  # default -> broadcast, no sizing count
         big = percolate(docs, compiled, n_rules=BROADCAST_RULE_LIMIT + 1)
         rows_small = sorted(map(tuple, small.collect()))
         rows_big = sorted(map(tuple, big.collect()))

@@ -260,8 +260,8 @@ def test_delete_by_query_masks_all_matches(spark, eng_idx, q2):
     os.remove(eng._tombstone_path())
 
 
-def test_delete_by_query_drains_past_max_docs(spark, eng_idx, q2):
-    """max_docs smaller than the match count forces the drain loop:
+def test_delete_by_query_drains_past_batch_size(spark, eng_idx, q2):
+    """batch_size smaller than the match count forces the drain loop:
     every pass tombstones a batch, masking it out of the next search,
     until no matches remain — a partial delete is never silent."""
     from searchengine_spark.engine import SearchEngine
@@ -270,9 +270,25 @@ def test_delete_by_query_drains_past_max_docs(spark, eng_idx, q2):
     term = q2.split()[0]
     n = eng.search(term, k=100_000, mode="exhaustive").count()
     assert n > 1
-    dead = eng.delete_by_query(term, max_docs=(n + 1) // 2)
+    dead = eng.delete_by_query(term, batch_size=(n + 1) // 2)
     assert len(dead) >= n
     assert eng.search(term, k=5, mode="exhaustive").count() == 0
+    os.remove(eng._tombstone_path())
+
+
+def test_delete_by_query_max_docs_is_total_cap(spark, eng_idx, q2):
+    """max_docs is the ES semantic — a TOTAL-deletions cap, not a batch
+    size: with max_docs=1 (< match count) exactly one doc is tombstoned
+    even when batch_size would allow more per pass."""
+    from searchengine_spark.engine import SearchEngine
+
+    eng = SearchEngine.load(spark, eng_idx)
+    term = q2.split()[0]
+    n = eng.search(term, k=100_000, mode="exhaustive").count()
+    assert n > 1
+    dead = eng.delete_by_query(term, max_docs=1, batch_size=10_000)
+    assert len(dead) == 1
+    assert eng.search(term, k=100_000, mode="exhaustive").count() == n - 1
     os.remove(eng._tombstone_path())
 
 
@@ -627,8 +643,19 @@ def test_consolidation_bit_identity_and_span_check(spark, small, q2,
              for r in fed2.search(q2, k=10).collect()]
     assert after == before
 
-    # non-adjacent consolidation: [s0, s2] leaves s1's range INSIDE the
-    # consolidated span; doc_id_end makes load reject the overlap
+    # non-adjacent consolidation: [s0, s2] leaves s1's range in the GAP
+    # between the recorded constituent ranges — the exact range-set
+    # check must ACCEPT [cold02, s1] (an envelope check would falsely
+    # reject it) and the three-way results must be reproduced
     dc02 = consolidate_slices(spark, [d0, d2], str(root / "cold02"))
+    import json
+    with open(os.path.join(dc02, "scalars.json")) as f:
+        sj = json.load(f)
+    assert len(sj["doc_id_ranges"]) == 2  # non-contiguous, both kept
+    fed_gap = FederatedEngine.load(spark, [dc02, d1])
+    gap_hits = [(r.doc_id, round(r.score, 9))
+                for r in fed_gap.search(q2, k=10).collect()]
+    assert gap_hits == hits  # tombstone was removed above -> pre-delete rows
+    # a slice that truly overlaps a CONSTITUENT range is still rejected
     with pytest.raises(ValueError, match="overlap"):
-        FederatedEngine.load(spark, [dc02, d1])
+        FederatedEngine.load(spark, [dc02, d0])
