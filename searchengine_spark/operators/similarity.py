@@ -13,6 +13,8 @@ scans columnar parquet with only (id, embedding) read (column pruning).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -397,11 +399,19 @@ def pq_encode(
     return embeddings.select(id_col, vec_col).mapInPandas(_encode, schema)
 
 
+#: pq_topk's corpus-relative candidate default: re-rank max(this floor,
+#: PQ_NCAND_FRAC of the corpus). At 1% the exact re-rank stays a rounding
+#: error of the ADC scan's cost while covering the quantization error far
+#: past the sf1 recall knee (see BENCH pq_recall_curve).
+PQ_NCAND_MIN = 100
+PQ_NCAND_FRAC = 0.01
+
+
 def pq_topk(
     embeddings: DataFrame,
     query_vec: list[float],
     k: int = 10,
-    n_candidates: int = 100,
+    n_candidates: int | None = None,
     m: int = 16,
     ksub: int = 64,
     sample: int = 4096,
@@ -421,13 +431,23 @@ def pq_topk(
     vectors, so with a candidate margin that covers the quantization error
     the output equals brute force — which is what the driver gate checks;
     recall/compression honesty is pinned in pytest. Pass persisted
-    ``codes`` (+ ``codebooks``) to amortize the index across queries."""
+    ``codes`` (+ ``codebooks``) to amortize the index across queries.
+
+    ``n_candidates`` defaults CORPUS-RELATIVE: max(PQ_NCAND_MIN,
+    PQ_NCAND_FRAC * corpus rows) — a fixed absolute margin silently
+    degrades recall as the corpus grows (sf1 measured recall@10 at a
+    flat ncand=100 is 0.833; at 1% it is 1.0). The sizing count scans
+    only the m-byte codes table; pass an explicit n_candidates to skip
+    it on a latency-critical path."""
     if codebooks is None:
         codebooks = pq_codebooks(embeddings, m, ksub, sample,
                                  id_col=id_col, vec_col=vec_col)
     m, ksub, dsub = codebooks.shape
     idx = codes if codes is not None else pq_encode(
         embeddings, codebooks, id_col, vec_col)
+    if n_candidates is None:
+        n_candidates = max(PQ_NCAND_MIN,
+                           int(math.ceil(PQ_NCAND_FRAC * idx.count())))
 
     q = np.asarray(query_vec, dtype=np.float64)
     q = q / max(np.linalg.norm(q), 1e-12)
