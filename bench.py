@@ -1230,44 +1230,50 @@ def ann_scale_bench(spark) -> tuple[dict, dict]:
         (time.perf_counter() - t0) / len(probes), 3)
     ivf_idx.unpersist()
 
-    # PQ: the sf0.01-gate config (ncand=100 = 5% of 2k) does NOT keep
-    # rank-identity at 20k (measured recall 0.83) — the ADC candidate
-    # pool must scale with n. Record the fixed config's recall AND the
-    # scaled config's identity (ncand = 2% of n, measured identical).
+    # PQ OPERATING CURVE: recall@10 vs the ADC re-rank candidate count,
+    # published so an operator picks an ncand point deliberately instead
+    # of trusting a magic default. The fixed sf0.01-gate config
+    # (ncand=100 = 5% of 2k) does NOT keep rank-identity at 20k — the
+    # candidate pool must scale with n, which is why pq_topk's default
+    # is corpus-relative (max(100, 1% of n)); the curve shows where the
+    # recall knee sits and the 2% point's rank-identity is asserted.
     books = similarity.pq_codebooks(emb)
     codes = similarity.pq_encode(emb, books).persist()
     codes.count()
+    curve_points = {"ncand100": 100, "ncand0.5pct": n // 200,
+                    "ncand1pct_default": n // 100, "ncand2pct": n // 50}
+    curve_hits = {lbl: 0.0 for lbl in curve_points}
     pq_identical_scaled = True
-    pq_recall_fixed = 0.0
     pq_wall = 0.0
     for p in probes[:3]:
         qvec = [float(v) for v in X[p]]
         bf = [(int(r["vec_id"]), float(r["cos"])) for r in
               similarity.cosine_topk(emb, qvec, k=10).collect()]
-        pq_fixed = {int(r["vec_id"]) for r in
-                    similarity.pq_topk(emb, qvec, k=10, n_candidates=100,
-                                       codes=codes,
-                                       codebooks=books).collect()}
-        pq_recall_fixed += len(pq_fixed & {i for i, _ in bf}) / 10
-        t0 = time.perf_counter()
-        pq_scaled = [(int(r["vec_id"]), float(r["cos"])) for r in
-                     similarity.pq_topk(emb, qvec, k=10,
-                                        n_candidates=n // 50,
-                                        codes=codes,
-                                        codebooks=books).collect()]
-        pq_wall += time.perf_counter() - t0
-        pq_identical_scaled = pq_identical_scaled and pq_scaled == bf
+        bf_ids = {i for i, _ in bf}
+        for lbl, nc in curve_points.items():
+            t0 = time.perf_counter()
+            got = [(int(r["vec_id"]), float(r["cos"])) for r in
+                   similarity.pq_topk(emb, qvec, k=10, n_candidates=nc,
+                                      codes=codes,
+                                      codebooks=books).collect()]
+            if lbl == "ncand2pct":
+                pq_wall += time.perf_counter() - t0
+                pq_identical_scaled = pq_identical_scaled and got == bf
+            curve_hits[lbl] += len({i for i, _ in got} & bf_ids) / 10
     timings["pq_topk_sf1"] = round(pq_wall / 3, 3)
     codes.unpersist()
     emb.unpersist()
 
+    curve = {lbl: round(v / 3, 3) for lbl, v in curve_hits.items()}
     extras = {
         "ann_scale_n_vectors": n,
         "ann_recall_at_10_sf1": round(
             sum(lsh_recalls) / len(lsh_recalls), 3),
         "ivf_recall_at_10_sf1": round(
             sum(ivf_recalls) / len(ivf_recalls), 3),
-        "pq_recall_at_10_sf1_ncand100": round(pq_recall_fixed / 3, 3),
+        "pq_recall_curve_sf1": curve,
+        "pq_recall_at_10_sf1_ncand100": curve["ncand100"],
+        "pq_recall_at_10_sf1_default": curve["ncand1pct_default"],
         "pq_rank_identical_sf1_ncand2pct": pq_identical_scaled,
         "ann_recall_probes": len(probes),
     }
@@ -1455,7 +1461,19 @@ def cluster_hash_check(spark, t_total0: float) -> dict:
     out: dict = {"widths": list(widths), "convs": n_convs}
     try:
         pyz = _pyfiles_zip()
-        ranges = {2: "0-1", 8: "8-15"}
+        # core ranges derive from the actual host so the gate never
+        # silently dies on a small machine: disjoint-with-a-gap when
+        # cores are plentiful, packed-disjoint at >=10, overlapping
+        # masks below that (the phase proves DETERMINISM, not
+        # throughput — contention only slows it down)
+        ncpu = os.cpu_count() or 1
+        if ncpu >= 16:
+            ranges = {2: "0-1", 8: "8-15"}
+        elif ncpu >= 10:
+            ranges = {2: "0-1", 8: "2-9"}
+        else:
+            ranges = {2: f"0-{min(ncpu, 2) - 1}", 8: f"0-{ncpu - 1}"}
+            out["core_overlap"] = f"host has {ncpu} cpus"
         for c in widths:
             servers[c] = _ClusterBuildServer(c, corpus_path, pyz,
                                              core_range=ranges[c])
@@ -1557,37 +1575,48 @@ def main() -> None:
             extra.update(skew_x)
         except Exception as e:
             extra["skew_scale_error"] = f"{type(e).__name__}: {e}"
-    # sf1 core-retrieval evidence + cluster hash gate: both deadline-
-    # guarded so a steal-stormy host (slow scaling/query phases) sheds
-    # them instead of blowing the driver's proven total-time envelope;
-    # the skip is recorded so a missing block is never silent.
-    # 680: a quiet full run reaches this point at ~560-620 s (r3i was
-    # 645 s END-to-end with one more scaling round and one more qscale
-    # round than the r4 defaults), so quiet hosts run the phase while a
-    # steal-stormy run (1.5x+) sheds it instead of stacking a slow sf1
-    # pass on an already-blown envelope
-    sf1_deadline = float(os.environ.get("SPARK_GRAFT_SF1_DEADLINE", "680"))
-    if os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0":
-        if time.perf_counter() - t_total0 < sf1_deadline:
-            try:
-                sf1_t, sf1_x = core_queries_sf1_bench(spark)
-                timings.update(sf1_t)
-                extra.update(sf1_x)
-            except Exception as e:
-                extra["sf1_error"] = f"{type(e).__name__}: {e}"
-        else:
-            extra["sf1_skipped"] = "deadline"
-    ch_deadline = float(os.environ.get(
-        "SPARK_GRAFT_CLUSTER_HASH_DEADLINE", "780"))
-    if os.environ.get("SPARK_GRAFT_BENCH_CLUSTER_HASH", "1") != "0":
-        if time.perf_counter() - t_total0 < ch_deadline:
-            try:
-                extra["cluster_hash_check"] = cluster_hash_check(
-                    spark, t_total0)
-            except Exception as e:
-                extra["cluster_hash_error"] = f"{type(e).__name__}: {e}"
-        else:
-            extra["cluster_hash_skipped"] = "deadline"
+    # Optional evidence phases (sf1 retrieval, cluster gates, curation
+    # sf1, serving latency, lifecycle soak), budgeted on PROJECTED
+    # COMPLETION — elapsed + a measured quiet-phase wall estimate — not
+    # elapsed-at-start, so a phase never STARTS unless it can also
+    # FINISH inside the proven driver envelope (r4's official run was
+    # 702 s end-to-end and tolerated; default envelope sits just above
+    # that). Phases run in priority order; every skip/error/wall is
+    # recorded so a missing block is never silent. Raise
+    # SPARK_GRAFT_BENCH_ENVELOPE for exhaustive offline evidence runs.
+    envelope = float(os.environ.get("SPARK_GRAFT_BENCH_ENVELOPE", "720"))
+
+    def run_phase(name: str, flag: str, est_s: float, fn) -> None:
+        if os.environ.get(flag, "1") == "0":
+            return
+        elapsed = time.perf_counter() - t_total0
+        if elapsed + est_s > envelope:
+            extra[f"{name}_skipped"] = (
+                f"projected {elapsed:.0f}+{est_s:.0f}s > envelope "
+                f"{envelope:.0f}s")
+            return
+        t_ph = time.perf_counter()
+        try:
+            fn()
+        except Exception as e:
+            extra[f"{name}_error"] = f"{type(e).__name__}: {e}"
+        extra[f"{name}_wall_s"] = round(time.perf_counter() - t_ph, 1)
+
+    def _sf1_phase():
+        sf1_t, sf1_x = core_queries_sf1_bench(spark)
+        timings.update(sf1_t)
+        extra.update(sf1_x)
+
+    # quiet-wall estimates measured on this host (see PHASE_EST comments
+    # at each phase fn); env-overridable for unusual hosts
+    def _est(name: str, default: float) -> float:
+        return float(os.environ.get(f"SPARK_GRAFT_EST_{name}", default))
+
+    run_phase("sf1", "SPARK_GRAFT_BENCH_SF1", _est("SF1", 150), _sf1_phase)
+    run_phase("cluster_hash", "SPARK_GRAFT_BENCH_CLUSTER_HASH",
+              _est("CLUSTER_HASH", 110),
+              lambda: extra.__setitem__(
+                  "cluster_hash_check", cluster_hash_check(spark, t_total0)))
     spark.stop()
 
     total = round(time.perf_counter() - t_total0, 3)

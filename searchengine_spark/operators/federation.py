@@ -394,6 +394,57 @@ class FederatedEngine:
             "n_tombstones": sum(len(e.tombstones()) for e in self.engines),
         }
 
+    def maybe_consolidate(self, out_root: str, max_slices: int = 8,
+                          keep_hot: int = 2, df_target: int | None = None,
+                          num_partitions: int | None = None,
+                          ) -> "FederatedEngine | None":
+        """Tiered-compaction-shaped retirement POLICY for the federation
+        (streaming/incremental.py ``tiered_compact`` is the single-index
+        twin): when the federation holds more than ``max_slices`` slices,
+        the coldest ``n - keep_hot`` are merged into ONE consolidated
+        slice via :func:`consolidate_slices` and a NEW FederatedEngine
+        over ``[consolidated] + hot`` is returned; serving results are
+        bit-identical by consolidate_slices' contract (tests pin it).
+        At or under the threshold it returns ``None`` — call it after
+        each slice onboarding, like tiered_compact after each batch.
+
+        Age = a slice's minimum doc-id base: the deployment contract
+        assigns bases monotonically (e.g. ``day_epoch << 40``), so the
+        smallest base is the oldest day. ``keep_hot`` newest slices stay
+        un-merged — they are the ones still receiving deletes/compactions
+        and the ones a daily-slice federation replaces wholesale.
+
+        Crash-safe ordering: the consolidated dir name is deterministic
+        (``consolidated_<min_base>_<max_end>``) so a crashed retry
+        overwrites its own orphan; constituent dirs are NOT deleted here
+        — the caller retires them once the returned engine is serving
+        (write new → cut over → remove old)."""
+        import json as _json
+        import os as _os
+
+        if len(self.engines) <= max_slices:
+            return None
+        keep_hot = max(int(keep_hot), 0)
+        if len(self.engines) - keep_hot < 2:
+            return None  # nothing worth merging
+
+        aged = []
+        for e in self.engines:
+            with open(_os.path.join(e.index_dir, "scalars.json")) as f:
+                s = _json.load(f)
+            rs = _slice_ranges(s, e.scalars.n_docs)
+            aged.append((min(a for a, _ in rs), max(b for _, b in rs),
+                         e.index_dir))
+        aged.sort()
+        cold = aged[:len(aged) - keep_hot] if keep_hot else aged
+        hot_dirs = [d for _, _, d in aged[len(cold):]]
+        out_dir = _os.path.join(
+            out_root, f"consolidated_{cold[0][0]}_{max(b for _, b, _ in cold)}")
+        consolidate_slices(self.spark, [d for _, _, d in cold], out_dir,
+                           df_target=df_target,
+                           num_partitions=num_partitions)
+        return FederatedEngine.load(self.spark, [out_dir] + hot_dirs)
+
 
 def consolidate_slices(
     spark,

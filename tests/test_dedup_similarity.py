@@ -464,3 +464,45 @@ def test_cc_on_budget_alternate_falls_back(spark):
            for r in connected_components(
                pairs, max_iters=3, on_budget="alternate").collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_pq_default_ncand_recall_at_sf1_scale(spark):
+    """The corpus-relative default candidate count (max(100, 1% of n))
+    holds recall@10 >= 0.95 at the sf1 ANN geometry (20k clustered
+    vectors, dim 64 — the bench's ann_scale corpus): pins the round-4
+    finding that a FIXED ncand=100 silently degrades to 0.833 at this
+    scale while the corpus-relative default does not. The full
+    recall-vs-ncand curve is published per-round in the bench sidecar
+    (pq_recall_curve_sf1)."""
+    rng = np.random.default_rng(7)
+    n, dim, n_clusters = 20_000, 64, 200
+    centers = rng.normal(size=(n_clusters, dim))
+    assign = rng.integers(0, n_clusters, size=n)
+    X = (centers[assign] + 0.15 * rng.normal(size=(n, dim))).astype(
+        np.float32)
+    emb = spark.createDataFrame(
+        ((int(i), [float(v) for v in X[i]]) for i in range(n)),
+        "vec_id long, embedding array<float>",
+    ).repartition(8).persist()
+    emb.count()
+
+    Xn = X.astype(np.float64)
+    Xn /= np.maximum(np.linalg.norm(Xn, axis=1, keepdims=True), 1e-12)
+    books = similarity.pq_codebooks(emb)
+    codes = similarity.pq_encode(emb, books).persist()
+    codes.count()
+    try:
+        hits = 0
+        probes = [int(p) for p in rng.integers(0, n, size=2)]
+        for p in probes:
+            cos = Xn @ Xn[p]
+            order = np.lexsort((np.arange(n), -np.round(cos, 6)))
+            exact = {int(i) for i in order[:10]}
+            got = {int(r["vec_id"]) for r in similarity.pq_topk(
+                emb, [float(v) for v in X[p]], k=10,
+                codes=codes, codebooks=books).collect()}
+            hits += len(got & exact)
+        assert hits / (10 * len(probes)) >= 0.95
+    finally:
+        codes.unpersist()
+        emb.unpersist()

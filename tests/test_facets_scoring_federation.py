@@ -659,3 +659,59 @@ def test_consolidation_bit_identity_and_span_check(spark, small, q2,
     # a slice that truly overlaps a CONSTITUENT range is still rejected
     with pytest.raises(ValueError, match="overlap"):
         FederatedEngine.load(spark, [dc02, d0])
+
+
+def test_maybe_consolidate_policy(spark, small, q2, tmp_path_factory):
+    """FederatedEngine.maybe_consolidate: the tiered_compact-shaped
+    retirement policy. Over max_slices it merges the COLDEST (lowest
+    doc-id base) slices, keeps ``keep_hot`` newest un-merged, and the
+    returned federation serves BIT-IDENTICAL (doc_id, score) rows; at
+    or under the threshold it is a no-op (None). The consolidated dir
+    name is deterministic so a crashed retry overwrites its orphan."""
+    from searchengine_spark.engine import SearchEngine
+    from searchengine_spark.operators.federation import FederatedEngine
+    from searchengine_spark.pipeline import run_build
+
+    convs = sorted(r.conv_id for r in
+                   small.select("conv_id").distinct().collect())
+    cuts = [convs[i * len(convs) // 4] for i in (1, 2, 3)]
+    parts = [
+        small.filter(F.col("conv_id") < cuts[0]),
+        small.filter((F.col("conv_id") >= cuts[0])
+                     & (F.col("conv_id") < cuts[1])),
+        small.filter((F.col("conv_id") >= cuts[1])
+                     & (F.col("conv_id") < cuts[2])),
+        small.filter(F.col("conv_id") >= cuts[2]),
+    ]
+    root = tmp_path_factory.mktemp("maybe_consol")
+    dirs = []
+    for i, p in enumerate(parts):  # bases monotone = slice age
+        d = str(root / f"day{i}")
+        run_build(spark, p, d, num_doc_partitions=2, layouts=("doc",),
+                  n_shards=2, doc_id_base=i << 30)
+        dirs.append(d)
+
+    fed4 = FederatedEngine.load(spark, dirs)
+    before = [(r.doc_id, round(r.score, 9))
+              for r in fed4.search(q2, k=10).collect()]
+    assert before
+
+    # under threshold: no-op
+    assert fed4.maybe_consolidate(str(root), max_slices=4) is None
+    # nothing worth merging (only 1 cold slice): no-op
+    assert fed4.maybe_consolidate(str(root), max_slices=3,
+                                  keep_hot=3) is None
+
+    fed2 = fed4.maybe_consolidate(str(root), max_slices=3, keep_hot=2)
+    assert fed2 is not None and len(fed2.engines) == 3  # merged + 2 hot
+    # the cold pair (day0, day1) merged; the 2 newest stayed hot
+    hot_left = {e.index_dir for e in fed2.engines}
+    assert dirs[2] in hot_left and dirs[3] in hot_left
+    cons_dir = next(d for d in hot_left if d not in dirs)
+    assert os.path.basename(cons_dir) == f"consolidated_0_{(1 << 30) + parts[1].count()}"
+    cold = SearchEngine.load(spark, cons_dir)
+    assert cold.scalars.n_docs == parts[0].count() + parts[1].count()
+
+    after = [(r.doc_id, round(r.score, 9))
+             for r in fed2.search(q2, k=10).collect()]
+    assert after == before
