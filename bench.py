@@ -1517,6 +1517,89 @@ def cluster_hash_check(spark, t_total0: float) -> dict:
     return out
 
 
+def cluster_correctness_check() -> dict:
+    """Standing CLUSTER-mode correctness sweep: the registry heads most
+    exposed to shuffle-arrival nondeterminism (grouped-map WAND/segment
+    kernels, sort-merge, federation unions, iterative CC, windows — see
+    tools/cluster_check.py DEFAULT_NAMES) run on a REAL 2-executor
+    standalone cluster at sf0.01 and are value-compared against their
+    DuckDB oracles, exactly like the driver gate. Widens the hash gate
+    (index + one query batch) to the kernels where the round-3 WAND bug
+    class could still hide. No core pinning — this is a correctness
+    phase, not a timing one."""
+    import shutil as _sh
+
+    n_execs = 2
+    port = 7095
+    master_url = f"spark://127.0.0.1:{port}"
+    spark_class = os.path.join(SPARK_HOME, "bin", "spark-class")
+    env = dict(
+        os.environ,
+        SPARK_HOME=SPARK_HOME,
+        SPARK_LOG_DIR=os.path.join(BENCH_TMP, f"sgbench-logs-{port}"),
+        SPARK_LOCAL_IP="127.0.0.1",
+        PYSPARK_PYTHON=sys.executable,
+        SPARK_NO_DAEMONIZE="1",
+    )
+    kw = dict(stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL, env=env)
+    procs = [subprocess.Popen(
+        [spark_class, "org.apache.spark.deploy.master.Master",
+         "--host", "127.0.0.1", "--port", str(port),
+         "--webui-port", str(port + 1000)], **kw)]
+    try:
+        _wait_port(port)
+        procs.append(subprocess.Popen(
+            [spark_class, "org.apache.spark.deploy.worker.Worker",
+             master_url, "--cores", str(n_execs), "--memory", "8g",
+             "--webui-port", str(port + 2000)], **kw))
+        submit = os.path.join(SPARK_HOME, "bin", "spark-submit")
+        tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tools", "cluster_check.py")
+        names = [n for n in os.environ.get(
+            "SPARK_GRAFT_CLUSTER_CHECK_NAMES", "").split(",") if n]
+        cmd = [
+            submit, "--master", master_url,
+            "--py-files", _pyfiles_zip(),
+            "--conf", "spark.executor.cores=1",
+            "--conf", "spark.executor.memory=3g",
+            "--conf", f"spark.cores.max={n_execs}",
+            "--conf", "spark.driver.memory=6g",
+            "--conf", f"spark.local.dir="
+                      f"{os.path.join(BENCH_TMP, f'sgbench-local-{port}')}",
+            tool, "--master-url", master_url, "--sf-dir",
+            os.environ.get("SPARK_GRAFT_CLUSTER_CHECK_SF",
+                           "/root/testdata/sf0.01"),
+        ] + names
+        res = subprocess.run(cmd, stdout=subprocess.PIPE,
+                             stderr=subprocess.DEVNULL, text=True,
+                             timeout=900, env=env,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        out = {}
+        for line in reversed(res.stdout.splitlines()):
+            line = line.strip().split("\r")[-1]
+            if line.startswith("{"):
+                try:
+                    out = json.loads(line)
+                    break
+                except ValueError:
+                    continue
+        if not out:
+            raise RuntimeError(
+                f"no JSON from cluster_check (rc={res.returncode})")
+        out["n_execs"] = n_execs
+        return out
+    finally:
+        for p in procs:
+            p.terminate()
+        for p in procs:
+            try:
+                p.wait(timeout=10)
+            except Exception:
+                p.kill()
+        _sh.rmtree(os.path.join(BENCH_TMP, f"sgbench-logs-{port}"),
+                   ignore_errors=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--build-only", action="store_true")
@@ -1617,6 +1700,10 @@ def main() -> None:
               _est("CLUSTER_HASH", 110),
               lambda: extra.__setitem__(
                   "cluster_hash_check", cluster_hash_check(spark, t_total0)))
+    run_phase("cluster_correctness", "SPARK_GRAFT_BENCH_CLUSTER_CORRECTNESS",
+              _est("CLUSTER_CORRECTNESS", 140),  # measured 103 s quiet
+              lambda: extra.__setitem__(
+                  "cluster_correctness", cluster_correctness_check()))
     spark.stop()
 
     total = round(time.perf_counter() - t_total0, 3)
