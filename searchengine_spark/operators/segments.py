@@ -174,6 +174,14 @@ def _encode_group_frame(pdf: pd.DataFrame, key_cols: list[str],
     (65 536 default), so the doc column crossing the JVM->Python Arrow
     boundary is int32 instead of int64 — half the socket bytes of the
     encoder's dominant input, with bit-identical output segments."""
+    if not len(pdf):
+        # a batch can legitimately encode to nothing — e.g. a tombstone-
+        # purging merge whose every term in this partition is fully dead
+        # (routine at cluster partition counts; surfaced by the r5
+        # lifecycle soak's delete_by_query -> consolidate stage)
+        return pd.DataFrame(
+            columns=[*key_cols, "n", "cf", "codec", "doc_gaps", "tfs",
+                     "dls", "block_last_doc", "block_max_core"])
     arrs = pdf["doc_arr"].to_numpy()
     lens = np.fromiter((len(a) for a in arrs), np.int64, len(arrs))
     doc = np.concatenate(arrs).astype(np.uint64)

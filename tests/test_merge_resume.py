@@ -213,3 +213,45 @@ def test_segment_group_plan_change_rebuilds(spark, small, tmp_path_factory):
                      layouts=("doc",), segment_groups=1)
     assert "g" not in idx3.doc_segments.columns
     assert _tf_set(segments_to_tf(idx3.doc_segments)) == full
+
+
+def test_merge_purge_fully_dead_terms_and_partitions(spark, small, halves):
+    """Tombstone-purging merges must survive groups and whole partitions
+    that encode to NOTHING (routine at cluster partition counts: a
+    delete_by_query kills every posting of the queried term, and a wide
+    repartition can isolate that term — or an empty partition — in its
+    own encoder batch; surfaced by the r5 lifecycle soak). All-dead
+    merge = zero rows; partial purge at a partition count far above the
+    term count equals the purge at a small count."""
+    a, b = halves
+    df_target = 64
+    idx = build_index(small, num_doc_partitions=3, layouts=("term",),
+                      df_target=df_target)
+    avg = idx.scalars.avgdl
+
+    all_ids = {int(r["doc_id"]) for r in
+               segments_to_tf(idx.term_segments)
+               .select("doc_id").distinct().collect()}
+    dead_all = merge_term_segments([(idx.term_segments, 0)], avg,
+                                   df_target=df_target, num_partitions=32,
+                                   tombstones=all_ids)
+    assert dead_all.count() == 0
+
+    # kill every doc containing ONE term -> that term must vanish while
+    # every other posting survives, independent of partition count
+    tf = segments_to_tf(idx.term_segments)
+    victim = tf.groupBy("term").count().orderBy(
+        F.desc("count"), F.asc("term")).first()["term"]
+    dead = {int(r["doc_id"]) for r in
+            tf.filter(F.col("term") == victim)
+            .select("doc_id").distinct().collect()}
+    wide = merge_term_segments([(idx.term_segments, 0)], avg,
+                               df_target=df_target, num_partitions=64,
+                               tombstones=dead)
+    narrow = merge_term_segments([(idx.term_segments, 0)], avg,
+                                 df_target=df_target, num_partitions=2,
+                                 tombstones=dead)
+    got_w, got_n = _tf_set(segments_to_tf(wide)), _tf_set(segments_to_tf(narrow))
+    assert got_w == got_n
+    assert victim not in {t for t, *_ in got_w}
+    assert got_w == {r for r in _tf_set(tf) if r[1] not in dead and r[0] != victim}
