@@ -1968,11 +1968,15 @@ def main() -> None:
     # COMPLETION — elapsed + a measured quiet-phase wall estimate — not
     # elapsed-at-start, so a phase never STARTS unless it can also
     # FINISH inside the proven driver envelope (r4's official run was
-    # 702 s end-to-end and tolerated; default envelope sits just above
-    # that). Phases run in priority order; every skip/error/wall is
-    # recorded so a missing block is never silent. Raise
-    # SPARK_GRAFT_BENCH_ENVELOPE for exhaustive offline evidence runs.
-    envelope = float(os.environ.get("SPARK_GRAFT_BENCH_ENVELOPE", "720"))
+    # 702 s end-to-end and r3's 756.8 s, both tolerated; the default
+    # envelope sits just above the larger). Phases run in priority
+    # order; every skip/error/wall is recorded so a missing block is
+    # never silent. A quiet driver run fits sf1 + the cluster hash gate
+    # + one or two of the cheap composed phases; the heavyweight
+    # evidence phases (cluster correctness sweep, curation sf1) shed by
+    # projection and live in the committed offline-run sidecars —
+    # rerun with SPARK_GRAFT_BENCH_ENVELOPE=3600 for the full set.
+    envelope = float(os.environ.get("SPARK_GRAFT_BENCH_ENVELOPE", "775"))
 
     def run_phase(name: str, flag: str, est_s: float, fn) -> None:
         if os.environ.get(flag, "1") == "0":
@@ -2010,22 +2014,6 @@ def main() -> None:
               lambda: extra.__setitem__(
                   "cluster_correctness", cluster_correctness_check()))
 
-    def _curation_sf1_phase():
-        cur_t, cur_x = curation_sf1_bench(spark)
-        timings.update(cur_t)
-        extra.update(cur_x)
-
-    run_phase("curation_sf1", "SPARK_GRAFT_BENCH_CURATION_SF1",
-              _est("CURATION_SF1", 230), _curation_sf1_phase)
-
-    def _serving_phase():
-        srv_t, srv_x = serving_latency_bench(spark)
-        timings.update(srv_t)
-        extra.update(srv_x)
-
-    run_phase("serving_latency", "SPARK_GRAFT_BENCH_SERVING",
-              _est("SERVING", 60), _serving_phase)
-
     def _soak_phase():
         soak_t, soak_x = lifecycle_soak_bench(spark)
         timings.update(soak_t)
@@ -2033,6 +2021,22 @@ def main() -> None:
 
     run_phase("lifecycle_soak", "SPARK_GRAFT_BENCH_SOAK",
               _est("SOAK", 60), _soak_phase)  # measured 38 s
+
+    def _serving_phase():
+        srv_t, srv_x = serving_latency_bench(spark)
+        timings.update(srv_t)
+        extra.update(srv_x)
+
+    run_phase("serving_latency", "SPARK_GRAFT_BENCH_SERVING",
+              _est("SERVING", 60), _serving_phase)  # measured 49 s
+
+    def _curation_sf1_phase():
+        cur_t, cur_x = curation_sf1_bench(spark)
+        timings.update(cur_t)
+        extra.update(cur_x)
+
+    run_phase("curation_sf1", "SPARK_GRAFT_BENCH_CURATION_SF1",
+              _est("CURATION_SF1", 230), _curation_sf1_phase)
     spark.stop()
 
     total = round(time.perf_counter() - t_total0, 3)
