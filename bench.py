@@ -2324,8 +2324,20 @@ def _scaling_bench(spark, t_total0: float) -> dict:
                 f"cpu_{n_lo}": round(cpu_lo1 - cpu_lo0, 2),
                 f"cpu_{n_hi}": round(cpu_hi1 - cpu_hi0, 2),
             })
-            if max((st_mid - st0) / (n_lo * lo_r["build_sec"]),
-                   (st1 - st_mid) / (n_hi * hi_r["build_sec"])) <= steal_tol_live:
+            # live quiet counter drives the hunt-for-quiet-windows
+            # escalation: same steal rule as the post-hoc filter PLUS the
+            # wall-floor rule (vs best wall so far), so same-host process
+            # contention — invisible to the steal counter — also keeps
+            # the hunt going instead of stopping on contaminated rounds.
+            wall_tol_live = float(os.environ.get("SPARK_GRAFT_WALL_TOL",
+                                                 "1.5"))
+            floor_lo = min(r["build_sec"] for r in runs[n_lo])
+            floor_hi = min(r["build_sec"] for r in runs[n_hi])
+            if (max((st_mid - st0) / (n_lo * lo_r["build_sec"]),
+                    (st1 - st_mid) / (n_hi * hi_r["build_sec"]))
+                    <= steal_tol_live
+                    and lo_r["build_sec"] <= wall_tol_live * floor_lo
+                    and hi_r["build_sec"] <= wall_tol_live * floor_hi):
                 n_quiet += 1
         # SECONDARY: lockstep-concurrent rounds (both servers at once)
         lock_effs: list[float] = []
@@ -2451,6 +2463,20 @@ def _scaling_bench(spark, t_total0: float) -> dict:
     p50s = [d["probe"]["p50"] for d in rounds_detail
             if d.get("probe", {}).get("p50")]
     probe_base = _median(p50s) if p50s else None
+    # wall-floor rule: noise only ever ADDS wall time, so a round whose
+    # wall on EITHER side exceeds WALL_TOL x the best wall seen for that
+    # side this run was contended by something neither the steal counter
+    # (same-host processes are not hypervisor steal) nor the probe (its
+    # baseline is the run's own median — blind when most rounds are
+    # slow) can see. Observed: a round with wall_8 2.2x the floor and
+    # cpu_8 inflated 2.4x passed both older gates with eff 0.415 and
+    # dragged a storm-window headline to 0.656 while floors read 0.937;
+    # quiet-host dispersion is <=1.17x, so 1.5 has wide margin.
+    wall_tol = float(os.environ.get("SPARK_GRAFT_WALL_TOL", "1.5"))
+    best_wall = {}
+    for c in (n_lo, n_hi):
+        ws = [d[f"wall_{c}"] for d in rounds_detail if d.get(f"wall_{c}")]
+        best_wall[c] = min(ws) if ws else None
     healthy_effs = []
     for d in rounds_detail:
         p75 = d.get("probe", {}).get("p75")
@@ -2462,7 +2488,11 @@ def _scaling_bench(spark, t_total0: float) -> dict:
                 fracs.append(st / (c * w))
         d["steal_frac"] = round(max(fracs), 3) if fracs else None
         steal_bad = bool(fracs) and max(fracs) > steal_tol
-        degraded = probe_bad or steal_bad
+        overs = [d[f"wall_{c}"] / best_wall[c] for c in (n_lo, n_hi)
+                 if best_wall[c] and d.get(f"wall_{c}")]
+        d["wall_over_floor"] = round(max(overs), 3) if overs else None
+        wall_bad = bool(overs) and max(overs) > wall_tol
+        degraded = probe_bad or steal_bad or wall_bad
         d["host_degraded"] = degraded
         if not degraded:
             healthy_effs.append(d["eff"])
@@ -2559,6 +2589,7 @@ def _scaling_bench(spark, t_total0: float) -> dict:
         "host_probe_median_p50_ms": probe_base,
         "host_probe_tolerance": probe_tol,
         "host_steal_tolerance": steal_tol,
+        "host_wall_tolerance": wall_tol,
         "rounds_detail": rounds_detail,
         # floor-based estimator (ratio of best-ever builds per level)
         "scaling_efficiency_seq_floors": floors,
