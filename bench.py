@@ -2146,6 +2146,60 @@ def _headline_line(full: dict, build: dict, timings: dict, extra: dict,
     return line
 
 
+def _round_health(rounds_detail: list, sides: tuple, *, wall_key: str,
+                  steal_tol: float, wall_tol: float,
+                  probe_tol: float | None = None,
+                  probe_base: float | None = None) -> list:
+    """Pre-declared mechanical host-health filter shared by the build-
+    and query-scaling loops. Annotates each round dict IN PLACE with
+    ``steal_frac``, ``wall_over_floor``, and ``host_degraded``, and
+    returns the ``eff`` values of the healthy rounds (the headline is
+    their median). A round is degraded iff any of:
+
+    - probe rule (build loop only — pass probe_tol+probe_base): the
+      round's in-round latency-probe p75 exceeded probe_tol x the
+      run-median of round p50s;
+    - steal rule: either side's hypervisor steal fraction
+      steal / (width x wall) exceeded steal_tol (kernel accounting);
+    - wall-floor rule: either side's wall exceeded wall_tol x that
+      side's best wall this run — noise only ever ADDS wall time, so
+      the per-side minimum is the max-likelihood clean wall, and a
+      round far above it was contended by something neither the steal
+      counter (same-host processes are not hypervisor steal) nor the
+      probe (blind when most rounds are slow) can see.
+
+    Missing keys degrade gracefully: a rule with no data for a round
+    simply cannot mark it degraded (matches the historical build-loop
+    behavior on partial rounds).
+    """
+    best_wall = {}
+    for c in sides:
+        ws = [d[f"{wall_key}_{c}"] for d in rounds_detail
+              if d.get(f"{wall_key}_{c}")]
+        best_wall[c] = min(ws) if ws else None
+    healthy_effs = []
+    for d in rounds_detail:
+        p75 = d.get("probe", {}).get("p75")
+        probe_bad = bool(probe_tol and probe_base and p75
+                         and p75 > probe_tol * probe_base)
+        fracs = []
+        for c in sides:
+            st, w = d.get(f"steal_{c}"), d.get(f"{wall_key}_{c}")
+            if st is not None and w:
+                fracs.append(st / (c * w))
+        d["steal_frac"] = round(max(fracs), 3) if fracs else None
+        steal_bad = bool(fracs) and max(fracs) > steal_tol
+        overs = [d[f"{wall_key}_{c}"] / best_wall[c] for c in sides
+                 if best_wall[c] and d.get(f"{wall_key}_{c}")]
+        d["wall_over_floor"] = round(max(overs), 3) if overs else None
+        wall_bad = bool(overs) and max(overs) > wall_tol
+        degraded = probe_bad or steal_bad or wall_bad
+        d["host_degraded"] = degraded
+        if not degraded:
+            healthy_effs.append(d["eff"])
+    return healthy_effs
+
+
 def _scaling_bench(spark, t_total0: float) -> dict:
     import shutil as _sh
     import tempfile
@@ -2494,29 +2548,10 @@ def _scaling_bench(spark, t_total0: float) -> dict:
     # dragged a storm-window headline to 0.656 while floors read 0.937;
     # quiet-host dispersion is <=1.17x, so 1.5 has wide margin.
     wall_tol = float(os.environ.get("SPARK_GRAFT_WALL_TOL", "1.5"))
-    best_wall = {}
-    for c in (n_lo, n_hi):
-        ws = [d[f"wall_{c}"] for d in rounds_detail if d.get(f"wall_{c}")]
-        best_wall[c] = min(ws) if ws else None
-    healthy_effs = []
-    for d in rounds_detail:
-        p75 = d.get("probe", {}).get("p75")
-        probe_bad = bool(probe_base and p75 and p75 > probe_tol * probe_base)
-        fracs = []
-        for c in (n_lo, n_hi):
-            st, w = d.get(f"steal_{c}"), d.get(f"wall_{c}")
-            if st is not None and w:
-                fracs.append(st / (c * w))
-        d["steal_frac"] = round(max(fracs), 3) if fracs else None
-        steal_bad = bool(fracs) and max(fracs) > steal_tol
-        overs = [d[f"wall_{c}"] / best_wall[c] for c in (n_lo, n_hi)
-                 if best_wall[c] and d.get(f"wall_{c}")]
-        d["wall_over_floor"] = round(max(overs), 3) if overs else None
-        wall_bad = bool(overs) and max(overs) > wall_tol
-        degraded = probe_bad or steal_bad or wall_bad
-        d["host_degraded"] = degraded
-        if not degraded:
-            healthy_effs.append(d["eff"])
+    healthy_effs = _round_health(
+        rounds_detail, (n_lo, n_hi), wall_key="wall",
+        steal_tol=steal_tol, wall_tol=wall_tol,
+        probe_tol=probe_tol, probe_base=probe_base)
     # steal-corrected estimator: subtract the core-time the kernel says
     # the hypervisor withheld from each wall (first-order — cache-
     # pollution second-order effects remain). This de-biases BOTH
@@ -2635,22 +2670,13 @@ def _scaling_bench(spark, t_total0: float) -> dict:
         # build record's scaling_efficiency_seq_floors
         q_floors = round(min(q_walls[n_lo])
                          / ((n_hi / n_lo) * min(q_walls[n_hi])), 3)
-        # post-hoc health filter, same rules as the build record: a round
-        # is degraded if either side's steal_frac exceeds STEAL_TOL or
-        # either wall exceeds WALL_TOL x that side's best wall this run.
+        # post-hoc health filter, same rules as the build record (steal +
+        # wall-floor; no probe on the query path — _round_health).
         # Headline = median over healthy rounds; if none, the floors
         # estimator (raw median always published alongside).
-        q_best = {c: min(q_walls[c]) for c in (n_lo, n_hi)}
-        q_healthy: list[float] = []
-        for d in q_detail:
-            sfracs = [d[f"steal_{c}"] / (c * d[f"qwall_{c}"])
-                      for c in (n_lo, n_hi)]
-            overs = [d[f"qwall_{c}"] / q_best[c] for c in (n_lo, n_hi)]
-            d["wall_over_floor"] = round(max(overs), 3)
-            d["host_degraded"] = (max(sfracs) > steal_tol
-                                  or max(overs) > wall_tol)
-            if not d["host_degraded"]:
-                q_healthy.append(d["eff"])
+        q_healthy = _round_health(
+            q_detail, (n_lo, n_hi), wall_key="qwall",
+            steal_tol=steal_tol, wall_tol=wall_tol)
         q_med = _median(q_healthy) if q_healthy else q_floors
         build["query_scaling"] = {
             "method": ("adjacent sequential batch-query rounds on the "
